@@ -1,0 +1,81 @@
+"""Benchmark: events/s/chip through the full self-supervised train step
+(UNet forward + trajectory eval + KNN flow LUT + event warp + IWE scatter +
+focus loss + backward + AdamW update) at DSEC scale (480x640, 15 bins).
+
+This is the BASELINE.md north-star metric.  The reference repo publishes no
+throughput numbers (SURVEY.md §6); `vs_baseline` is reported against a
+nominal 10M events/s/chip estimate for the reference PyTorch pipeline on an
+A6000 (batch 14 / 2 GPUs, ~1M events and ~0.7 train-steps/s per GPU), i.e.
+vs_baseline = events_per_s / 1.0e7.  >10 means the >10x north-star target
+(BASELINE.md) is met.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import functools
+import json
+import time
+
+import numpy as np
+
+REFERENCE_EVENTS_PER_S_ESTIMATE = 1.0e7  # PyTorch A6000 estimate (see above)
+
+
+def main():
+    import jax
+
+    from motionpriorcmax_tpu.losses import FocusLossConfig
+    from motionpriorcmax_tpu.training import (
+        TrajectoryNetConfig, create_train_state, train_step)
+
+    h, w, nbins = 480, 640, 15
+    batch, m = 2, 1 << 19  # 2 samples x 524288 events
+
+    cfg = TrajectoryNetConfig(image_shape=(h, w), num_bins=nbins, num_basis=1,
+                              patch_size=4, basis_type="polynomial")
+    loss_cfg = FocusLossConfig(
+        image_shape=(h, w), num_tref=1, num_bins=nbins, num_knn=32,
+        smooth_weight=0.003, lut_superpixel_size=4, focus_loss_norm="l1",
+        dist_norm="l2", scale_iwe_by_dt=True, mask_image_border=True,
+        polarity_aware_batching=False, interpolation_scheme="mean",
+        knn_block_size=1200)
+
+    rng = np.random.default_rng(0)
+    y = rng.uniform(0, h - 1, (batch, m)); x = rng.uniform(0, w - 1, (batch, m))
+    t = rng.uniform(0, 1, (batch, m))
+    p = rng.integers(0, 2, (batch, m)).astype(np.float32)
+    b = np.clip((t * nbins).astype(np.int32), 0, nbins - 1)
+    events = np.stack([y, x, t, p, b, np.ones((batch, m))], -1).astype(np.float32)
+    voxel = rng.normal(size=(batch, nbins, h, w)).astype(np.float32)
+    batch_dict = {
+        "voxel": jax.device_put(voxel),
+        "events": jax.device_put(events),
+    }
+
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    step = jax.jit(functools.partial(train_step, cfg=cfg, loss_cfg=loss_cfg),
+                   donate_argnums=(0,))
+
+    # Warmup/compile.
+    key = jax.random.PRNGKey(1)
+    state, logs = step(state, batch_dict, key)
+    jax.block_until_ready(logs["train_losses/total"])
+
+    iters = 10
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, logs = step(state, batch_dict, jax.random.PRNGKey(i))
+    jax.block_until_ready(logs["train_losses/total"])
+    dt = time.perf_counter() - t0
+
+    events_per_s = batch * m * iters / dt
+    print(json.dumps({
+        "metric": "train_step_events_per_s_per_chip",
+        "value": round(events_per_s, 1),
+        "unit": "events/s",
+        "vs_baseline": round(events_per_s / REFERENCE_EVENTS_PER_S_ESTIMATE, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,24 @@
+"""Host-side input pipelines (reference layer L5b).
+
+Three dataset families, same as the reference: DSEC (flow), EVIMO2 and
+MultiFlow (trajectory).  Host code is pure NumPy + h5py: it slices raw event
+windows and emits fixed-capacity batches; voxelization runs *on device*
+inside the jitted step (motionpriorcmax_tpu.ops.events) — unlike the
+reference, which voxelizes on CPU dataloader workers (SURVEY.md §3.1 hot
+loop (e)).
+"""
+
+from .keys import DataSetType, BatchKeys
+from .collate import pad_events, collate_fixed_capacity
+from .dsec import DsecSequence, DsecDatasetProvider, TRAIN_SEQS, VAL_SEQS
+
+__all__ = [
+    "DataSetType",
+    "BatchKeys",
+    "pad_events",
+    "collate_fixed_capacity",
+    "DsecSequence",
+    "DsecDatasetProvider",
+    "TRAIN_SEQS",
+    "VAL_SEQS",
+]

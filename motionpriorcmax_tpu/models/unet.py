@@ -1,0 +1,107 @@
+"""Textbook UNet mapping event voxel grids to motion-basis coefficient grids.
+
+TPU-native reimplementation of the reference UNet
+(src/models/unet/unet_model.py:6-48, unet_parts.py:8-77):
+  DoubleConv = (conv3x3 no-bias -> BN -> ReLU) x 2
+  4 x Down   = maxpool2 -> DoubleConv       (64 -> 128 -> 256 -> 512 -> 1024)
+  4 x Up     = ConvTranspose2d(k2 s2) (or bilinear) -> pad-to-skip -> concat
+               -> DoubleConv
+  OutConv    = conv1x1
+In/out channels: in = num_bins (15), out = 2 * num_basis
+(src/modules/trajectory_net.py:27-28).
+
+Layout: NHWC internally (TPU-native; XLA convs prefer channel-last), with an
+NCHW wrapper on `__call__` so callers keep the reference's NCHW convention.
+BatchNorm state lives in the 'batch_stats' collection (functional, donated
+through the train step).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class DoubleConv(nn.Module):
+    out_channels: int
+    mid_channels: int | None = None
+    use_running_average: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        mid = self.mid_channels or self.out_channels
+        for ch in (mid, self.out_channels):
+            x = nn.Conv(ch, (3, 3), padding=1, use_bias=False)(x)
+            x = nn.BatchNorm(use_running_average=self.use_running_average,
+                             momentum=0.9, epsilon=1e-5)(x)
+            x = nn.relu(x)
+        return x
+
+
+class Down(nn.Module):
+    out_channels: int
+    use_running_average: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        return DoubleConv(self.out_channels,
+                          use_running_average=self.use_running_average)(x)
+
+
+class Up(nn.Module):
+    out_channels: int
+    bilinear: bool = False
+    use_running_average: bool = False
+
+    @nn.compact
+    def __call__(self, x1, x2):
+        if self.bilinear:
+            import jax
+
+            b, h, w, c = x1.shape
+            x1 = jax.image.resize(x1, (b, h * 2, w * 2, c), method="bilinear")
+            mid = x1.shape[-1] // 2
+        else:
+            x1 = nn.ConvTranspose(x1.shape[-1] // 2, (2, 2), strides=(2, 2))(x1)
+            mid = None
+        # Pad x1 to the skip connection's spatial size (unet_parts.py:59-63).
+        dh = x2.shape[1] - x1.shape[1]
+        dw = x2.shape[2] - x1.shape[2]
+        x1 = jnp.pad(x1, ((0, 0), (dh // 2, dh - dh // 2),
+                          (dw // 2, dw - dw // 2), (0, 0)))
+        x = jnp.concatenate([x2, x1], axis=-1)
+        return DoubleConv(self.out_channels, mid_channels=mid,
+                          use_running_average=self.use_running_average)(x)
+
+
+class UNet(nn.Module):
+    """UNet over NCHW voxel grids -> NCHW coefficient grids."""
+
+    n_channels: int
+    n_classes: int
+    bilinear: bool = False
+    widths: Sequence[int] = (64, 128, 256, 512, 1024)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        # NCHW -> NHWC
+        x = jnp.transpose(x, (0, 2, 3, 1))
+        ura = not train
+        w = self.widths
+        factor = 2 if self.bilinear else 1
+
+        x1 = DoubleConv(w[0], use_running_average=ura)(x)
+        x2 = Down(w[1], use_running_average=ura)(x1)
+        x3 = Down(w[2], use_running_average=ura)(x2)
+        x4 = Down(w[3], use_running_average=ura)(x3)
+        x5 = Down(w[4] // factor, use_running_average=ura)(x4)
+        y = Up(w[3] // factor, self.bilinear, use_running_average=ura)(x5, x4)
+        y = Up(w[2] // factor, self.bilinear, use_running_average=ura)(y, x3)
+        y = Up(w[1] // factor, self.bilinear, use_running_average=ura)(y, x2)
+        y = Up(w[0], self.bilinear, use_running_average=ura)(y, x1)
+        logits = nn.Conv(self.n_classes, (1, 1))(y)
+        # NHWC -> NCHW
+        return jnp.transpose(logits, (0, 3, 1, 2))

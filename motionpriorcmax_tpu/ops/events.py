@@ -1,0 +1,230 @@
+"""Event voxelization and Image-of-Warped-Events (IWE) accumulation.
+
+TPU-native reimplementation of the reference's event representations:
+  - trilinear voxel-grid voting  (reference: src/loader/utils/representation.py:64-111
+    and src/loader/dsec/utils.py:29-77)
+  - bilinear IWE vote            (reference: src/utils/event_image_converter.py:333-391)
+  - voxel-grid normalization     (reference: src/loader/dsec/utils.py:57-75,
+    src/loader/utils/representation.py:9-18)
+
+Design notes (TPU-first):
+  * Events are fixed-capacity arrays [..., M, 6] with float32 rows
+    (y, x, t, p, bin, valid) — y first, matching the reference convention
+    (src/loader/dsec/loader.py:156-161).  Padding rows carry valid=0 and
+    contribute zero weight; there is no ragged shape anywhere on device.
+  * Accumulation is a flattened scatter-add (`.at[idx].add(vals)`), which XLA
+    lowers to a deterministic TPU scatter — unlike the reference's CUDA
+    `scatter_add_`/`put_(accumulate=True)` which are non-deterministic
+    (SURVEY.md §5.2).
+  * Out-of-bounds votes are masked by zeroing the weight and clamping the
+    index into range (index 0), exactly reproducing the reference's
+    `inds * inds_mask` trick (event_image_converter.py:388).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# Column layout of an event row.  (y, x) may be fractional after rectification
+# or warping; `bin` is the voxel-channel index used for flow-LUT lookup;
+# `valid` is 1.0 for real events, 0.0 for padding.
+EVENT_COLS = ("y", "x", "t", "p", "bin", "valid")
+Y, X, T, P, BIN, VALID = range(6)
+
+
+def _scatter_add_flat(shape_flat: int, idx: jnp.ndarray, vals: jnp.ndarray,
+                      dtype=jnp.float32) -> jnp.ndarray:
+    """Accumulate `vals` at flat indices `idx` into a zeroed [shape_flat] array."""
+    out = jnp.zeros((shape_flat,), dtype=dtype)
+    return out.at[idx].add(vals, mode="drop")
+
+
+def voxel_grid_from_events(
+    y: jnp.ndarray,
+    x: jnp.ndarray,
+    t_norm: jnp.ndarray,
+    p: jnp.ndarray,
+    valid: jnp.ndarray,
+    *,
+    num_bins: int,
+    height: int,
+    width: int,
+) -> jnp.ndarray:
+    """Trilinear (x, y, t) vote of events into a [num_bins, H, W] voxel grid.
+
+    Semantics match the reference voxelizers exactly
+    (src/loader/utils/representation.py:77-109, src/loader/dsec/utils.py:29-55):
+      vote value  = (2 p − 1) * w_x * w_y * w_t   with w = 1 − |target − coord|
+      targets     = {floor, floor+1} along each fractional axis
+      t_norm      = (t − t0) / (t1 − t0) * (num_bins − 1)
+    Integer (y, x) inputs take the 2-tap time-only fast path automatically
+    because the spatial fractional weights collapse to {1, 0}.
+
+    Args:
+      y, x: [M] event coordinates (float; may be fractional post-rectification).
+      t_norm: [M] normalized time in units of bins (0 .. num_bins-1).
+      p: [M] polarity in {0, 1}.
+      valid: [M] 1.0 for real events, 0.0 for padding.
+
+    Returns:
+      [num_bins, height, width] float32 voxel grid.
+    """
+    value = (2.0 * p.astype(jnp.float32) - 1.0) * valid.astype(jnp.float32)
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    t0 = jnp.floor(t_norm)
+
+    flat = num_bins * height * width
+    acc = jnp.zeros((flat,), dtype=jnp.float32)
+
+    for dx in (0.0, 1.0):
+        xi = x0 + dx
+        wx = 1.0 - jnp.abs(xi - x)
+        mx = (xi >= 0) & (xi < width)
+        for dy in (0.0, 1.0):
+            yi = y0 + dy
+            wy = 1.0 - jnp.abs(yi - y)
+            my = (yi >= 0) & (yi < height)
+            for dt in (0.0, 1.0):
+                ti = t0 + dt
+                wt = 1.0 - jnp.abs(ti - t_norm)
+                mt = (ti >= 0) & (ti < num_bins)
+                mask = mx & my & mt
+                w = value * wx * wy * wt * mask.astype(jnp.float32)
+                idx = (ti.astype(jnp.int32) * height + yi.astype(jnp.int32)) * width \
+                    + xi.astype(jnp.int32)
+                idx = jnp.where(mask, idx, 0)
+                acc = acc.at[idx].add(w, mode="drop")
+
+    return acc.reshape(num_bins, height, width)
+
+
+def clamp_voxel_grid_quantile(grid: jnp.ndarray, quantile: float) -> jnp.ndarray:
+    """Symmetric magnitude clamp at the (1 − quantile) |grid| quantile.
+
+    Reference: src/loader/dsec/utils.py:57-61.  No-op when quantile == 0.
+    """
+    if quantile <= 0:
+        return grid
+    threshold = jnp.quantile(jnp.abs(grid).reshape(-1), 1.0 - quantile)
+    return jnp.where(jnp.abs(grid) > threshold, jnp.sign(grid) * threshold, grid)
+
+
+def normalize_voxel_grid(grid: jnp.ndarray, norm_type: str | None = "mean_std") -> jnp.ndarray:
+    """Normalize nonzero voxels (mean/std over nonzero entries, or max-abs).
+
+    Reference: src/loader/dsec/utils.py:63-75 and
+    src/loader/utils/representation.py:9-18.  The reference computes mean/std
+    over the *nonzero* entries only and leaves zeros untouched; we reproduce
+    that with masked moments (std uses Bessel's correction like torch.std).
+    """
+    if norm_type is None:
+        return grid
+    if norm_type == "max":
+        max_value = jnp.max(jnp.abs(grid))
+        return jnp.where(max_value > 0, grid / jnp.maximum(max_value, 1e-12), grid)
+    if norm_type != "mean_std":
+        raise ValueError(f"unknown norm_type {norm_type!r}")
+    nz = (grid != 0).astype(jnp.float32)
+    n = jnp.sum(nz)
+    n_safe = jnp.maximum(n, 1.0)
+    mean = jnp.sum(grid * nz) / n_safe
+    var = jnp.sum(jnp.square(grid - mean) * nz) / jnp.maximum(n - 1.0, 1.0)
+    std = jnp.sqrt(var)
+    normed = jnp.where(std > 0, (grid - mean) / std, grid - mean)
+    return jnp.where((n > 0) & (nz > 0), normed, grid)
+
+
+def iwe_bilinear_vote(
+    coords_yx: jnp.ndarray,
+    weight: jnp.ndarray,
+    *,
+    height: int,
+    width: int,
+) -> jnp.ndarray:
+    """Bilinear vote of (possibly fractional) event coords into a [H, W] image.
+
+    Semantics match the reference bilinear_vote_tensor
+    (src/utils/event_image_converter.py:333-391):
+      floor with +1e-6 nudge; votes at the 4 integer neighbors with products
+      of fractional weights; out-of-range corners masked per-corner.
+
+    Args:
+      coords_yx: [M, 2] warped event coordinates, (y, x) order.
+      weight: [M] per-event vote weight (0 for padding events).
+
+    Returns:
+      [height, width] float32 IWE.
+    """
+    yx = coords_yx
+    floor_yx = jnp.floor(yx + 1e-6)
+    frac = yx - floor_yx
+    fy, fx = frac[..., 0], frac[..., 1]
+    y1 = floor_yx[..., 0].astype(jnp.int32)
+    x1 = floor_yx[..., 1].astype(jnp.int32)
+
+    flat = height * width
+    acc = jnp.zeros((flat,), dtype=jnp.float32)
+    # (dy, dx, weight) for the 4 corners; weight order matches reference
+    # w_pos0..w_pos3 (event_image_converter.py:382-385).
+    corners = (
+        (0, 0, (1.0 - fy) * (1.0 - fx)),
+        (1, 0, fy * (1.0 - fx)),
+        (0, 1, (1.0 - fy) * fx),
+        (1, 1, fy * fx),
+    )
+    for dy, dx, wgt in corners:
+        yi = y1 + dy
+        xi = x1 + dx
+        mask = (yi >= 0) & (yi < height) & (xi >= 0) & (xi < width)
+        w = wgt * weight * mask.astype(jnp.float32)
+        idx = jnp.where(mask, yi * width + xi, 0)
+        acc = acc.at[idx].add(w, mode="drop")
+    return acc.reshape(height, width)
+
+
+def gaussian_blur_3x3(images: jnp.ndarray, sigma: float = 1.0) -> jnp.ndarray:
+    """3x3 separable gaussian blur with reflect padding.
+
+    Matches torchvision gaussian_blur(kernel_size=3, sigma) applied to the IWE
+    in the reference (src/utils/event_image_converter.py:170-175 via
+    create_iwe(..., sigma=1) at src/losses/focus.py:219-230): 1-D kernel
+    proportional to exp(-x^2 / (2 sigma^2)) for x in {-1, 0, 1}, normalized,
+    with reflect padding.
+
+    Args:
+      images: [..., H, W].
+    Returns:
+      blurred images, same shape.
+    """
+    import numpy as _np
+
+    x = _np.array([-1.0, 0.0, 1.0])
+    k1 = _np.exp(-0.5 * (x / sigma) ** 2)
+    k1 = (k1 / k1.sum()).astype(_np.float32)
+    k = jnp.asarray(k1)
+
+    lead = images.shape[:-2]
+    h, w = images.shape[-2:]
+    img = images.reshape((-1, 1, h, w))
+    img = jnp.pad(img, ((0, 0), (0, 0), (1, 1), (1, 1)), mode="reflect")
+    kern_y = k.reshape(1, 1, 3, 1)
+    kern_x = k.reshape(1, 1, 1, 3)
+    dn = jax.lax.conv_dimension_numbers(img.shape, kern_y.shape, ("NCHW", "OIHW", "NCHW"))
+    img = jax.lax.conv_general_dilated(img, kern_y, (1, 1), "VALID", dimension_numbers=dn)
+    img = jax.lax.conv_general_dilated(img, kern_x, (1, 1), "VALID", dimension_numbers=dn)
+    return img.reshape(lead + (h, w))
+
+
+def iwe_bilinear_vote_batch(coords_yx: jnp.ndarray, weight: jnp.ndarray, *,
+                            height: int, width: int) -> jnp.ndarray:
+    """Batched bilinear vote: [B, M, 2], [B, M] -> [B, H, W].
+
+    vmap keeps the scatter per-image, which shards cleanly over the data axis
+    of the mesh.
+    """
+    return jax.vmap(
+        lambda c, w: iwe_bilinear_vote(c, w, height=height, width=width)
+    )(coords_yx, weight)

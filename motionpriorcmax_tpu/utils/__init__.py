@@ -1,0 +1,12 @@
+"""Host-side utilities: flow IO, scaling, visualization."""
+
+from .flow_io import save_flow_png, load_flow_png, scale_optical_flow
+from .visualization import flow_to_rgb, normalize_iwe
+
+__all__ = [
+    "save_flow_png",
+    "load_flow_png",
+    "scale_optical_flow",
+    "flow_to_rgb",
+    "normalize_iwe",
+]

@@ -1,0 +1,138 @@
+"""Golden unit tests for voxelization, bilinear IWE vote, blur, normalization.
+
+The expected values are hand-computed from the reference formulas
+(src/loader/utils/representation.py:77-109, src/utils/event_image_converter.py:333-391).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from motionpriorcmax_tpu.ops.events import (
+    voxel_grid_from_events,
+    iwe_bilinear_vote,
+    iwe_bilinear_vote_batch,
+    gaussian_blur_3x3,
+    normalize_voxel_grid,
+    clamp_voxel_grid_quantile,
+)
+
+
+def naive_voxel(y, x, t, p, valid, nb, h, w):
+    grid = np.zeros((nb, h, w), dtype=np.float64)
+    for yi, xi, ti, pi, vi in zip(y, x, t, p, valid):
+        if vi == 0:
+            continue
+        val = 2 * pi - 1
+        for xx in (np.floor(xi), np.floor(xi) + 1):
+            for yy in (np.floor(yi), np.floor(yi) + 1):
+                for tt in (np.floor(ti), np.floor(ti) + 1):
+                    if 0 <= xx < w and 0 <= yy < h and 0 <= tt < nb:
+                        wgt = (
+                            (1 - abs(xx - xi)) * (1 - abs(yy - yi)) * (1 - abs(tt - ti))
+                        )
+                        grid[int(tt), int(yy), int(xx)] += val * wgt
+    return grid
+
+
+def test_voxel_grid_matches_naive(rng):
+    nb, h, w = 5, 16, 24
+    m = 200
+    y = rng.uniform(-1, h + 1, m).astype(np.float32)
+    x = rng.uniform(-1, w + 1, m).astype(np.float32)
+    t = rng.uniform(-0.5, nb - 0.5, m).astype(np.float32)
+    p = rng.integers(0, 2, m).astype(np.float32)
+    valid = (rng.uniform(size=m) > 0.1).astype(np.float32)
+
+    got = voxel_grid_from_events(
+        jnp.asarray(y), jnp.asarray(x), jnp.asarray(t), jnp.asarray(p),
+        jnp.asarray(valid), num_bins=nb, height=h, width=w,
+    )
+    want = naive_voxel(y, x, t, p, valid, nb, h, w)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
+
+
+def test_voxel_grid_integer_coords_fast_path():
+    # Integer coords must land the full temporal weight on one pixel.
+    y = jnp.array([3.0]); x = jnp.array([4.0]); t = jnp.array([1.25])
+    p = jnp.array([1.0]); v = jnp.array([1.0])
+    g = voxel_grid_from_events(y, x, t, p, v, num_bins=3, height=8, width=8)
+    assert np.isclose(float(g[1, 3, 4]), 0.75)
+    assert np.isclose(float(g[2, 3, 4]), 0.25)
+    assert np.isclose(float(jnp.sum(jnp.abs(g))), 1.0)
+
+
+def test_iwe_bilinear_vote_hand_values():
+    # Event at (y, x) = (1.25, 2.5) with weight 2:
+    # corners (1,2):(1-.25)(1-.5)=0.375, (2,2):.25*.5=0.125,
+    #         (1,3):(1-.25)*.5=0.375, (2,3):.25*.5=0.125  — times 2.
+    coords = jnp.array([[1.25, 2.5]])
+    wgt = jnp.array([2.0])
+    img = iwe_bilinear_vote(coords, wgt, height=4, width=5)
+    img = np.asarray(img)
+    # 1e-6 floor nudge shifts weights negligibly; use loose atol.
+    assert np.isclose(img[1, 2], 2 * 0.75 * 0.5, atol=1e-4)
+    assert np.isclose(img[2, 2], 2 * 0.25 * 0.5, atol=1e-4)
+    assert np.isclose(img[1, 3], 2 * 0.75 * 0.5, atol=1e-4)
+    assert np.isclose(img[2, 3], 2 * 0.25 * 0.5, atol=1e-4)
+    assert np.isclose(img.sum(), 2.0, atol=1e-4)
+
+
+def test_iwe_out_of_bounds_masked():
+    coords = jnp.array([[-0.5, 2.0], [3.5, 4.5], [10.0, 2.0]])
+    wgt = jnp.ones((3,))
+    img = np.asarray(iwe_bilinear_vote(coords, wgt, height=4, width=5))
+    # Event 0: only the y=0 corner row is in range -> weight 0.5 lands at (0,2).
+    assert np.isclose(img[0, 2], 0.5, atol=1e-4)
+    # Event 1: corners (3,4) only (y=4 and x=5 are out) -> 0.5*0.5.
+    assert np.isclose(img[3, 4], 0.25, atol=1e-4)
+    # Event 2 fully out of range.
+    assert np.isclose(img.sum(), 0.75, atol=1e-4)
+
+
+def test_iwe_batch(rng):
+    coords = jnp.asarray(rng.uniform(0, 10, (3, 50, 2)).astype(np.float32))
+    wgt = jnp.ones((3, 50))
+    out = iwe_bilinear_vote_batch(coords, wgt, height=12, width=12)
+    assert out.shape == (3, 12, 12)
+    single = iwe_bilinear_vote(coords[1], wgt[1], height=12, width=12)
+    np.testing.assert_allclose(np.asarray(out[1]), np.asarray(single), atol=1e-6)
+
+
+def test_gaussian_blur_3x3_matches_scipy(rng):
+    from scipy.ndimage import correlate
+
+    img = rng.uniform(size=(6, 7)).astype(np.float32)
+    x = np.array([-1.0, 0.0, 1.0])
+    k1 = np.exp(-0.5 * x**2); k1 /= k1.sum()
+    k2 = np.outer(k1, k1)
+    # torch F.pad(mode='reflect') does NOT duplicate the edge pixel — that is
+    # scipy's 'mirror' mode (scipy 'reflect' duplicates the edge).
+    want = correlate(img, k2, mode="mirror")
+    got = np.asarray(gaussian_blur_3x3(jnp.asarray(img), sigma=1.0))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_normalize_voxel_grid_mean_std():
+    g = np.zeros((2, 3, 3), dtype=np.float32)
+    g[0, 0, 0] = 1.0; g[0, 1, 1] = 3.0; g[1, 2, 2] = -2.0
+    nz = np.array([1.0, 3.0, -2.0])
+    mean, std = nz.mean(), nz.std(ddof=1)
+    got = np.asarray(normalize_voxel_grid(jnp.asarray(g), "mean_std"))
+    assert np.isclose(got[0, 0, 0], (1.0 - mean) / std, atol=1e-5)
+    assert np.isclose(got[0, 1, 1], (3.0 - mean) / std, atol=1e-5)
+    # zeros untouched
+    assert got[0, 0, 1] == 0.0
+
+
+def test_normalize_voxel_grid_max():
+    g = jnp.asarray(np.array([[[2.0, -4.0], [0.0, 1.0]]], dtype=np.float32))
+    got = np.asarray(normalize_voxel_grid(g, "max"))
+    np.testing.assert_allclose(got, np.array([[[0.5, -1.0], [0.0, 0.25]]]), atol=1e-6)
+
+
+def test_quantile_clamp():
+    g = jnp.asarray(np.arange(-50, 50, dtype=np.float32).reshape(1, 10, 10))
+    out = np.asarray(clamp_voxel_grid_quantile(g, 0.1))
+    thr = np.quantile(np.abs(np.asarray(g)).ravel(), 0.9)
+    assert np.max(np.abs(out)) <= thr + 1e-4

@@ -1,0 +1,162 @@
+"""FocusLoss behavioral tests on a synthetic translating scene.
+
+SURVEY.md §4 test plan item (4): warping events with the *true* flow must
+produce a sharper IWE (lower focus loss) than zero flow, and gradients must
+flow back to the trajectory coefficients.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from motionpriorcmax_tpu.losses import FocusLossConfig, focus_loss, get_reconstruction_times
+
+
+H, W = 32, 48
+NBINS = 5
+
+
+def make_translating_events(rng, flow_yx=(4.0, 6.0), n_lines=6, m=512):
+    """Events from a few bright vertical/horizontal edges translating with a
+    constant flow over t in [0, 1].  Returns [1, m, 6] (y, x, t, p, bin, valid)."""
+    fy, fx = flow_yx
+    base_y = rng.uniform(4, H - 12, n_lines)
+    base_x = rng.uniform(4, W - 12, n_lines)
+    ts = rng.uniform(0, 1, m)
+    which = rng.integers(0, n_lines, m)
+    jitter = rng.uniform(-0.5, 0.5, (m, 2))
+    y = base_y[which] + fy * ts + jitter[:, 0]
+    x = base_x[which] + fx * ts + jitter[:, 1]
+    p = rng.integers(0, 2, m).astype(np.float32)
+    bins = np.clip((ts * NBINS).astype(np.int32), 0, NBINS - 1)
+    ev = np.stack([y, x, ts, p, bins, np.ones(m)], axis=-1).astype(np.float32)
+    return ev[None]
+
+
+def make_cfg(**kw):
+    defaults = dict(
+        image_shape=(H, W), num_tref=1, num_bins=NBINS, num_knn=4,
+        smooth_weight=0.0, lut_superpixel_size=4, focus_loss_norm="l1",
+        dist_norm="l2", scale_iwe_by_dt=True, mask_image_border=True,
+        polarity_aware_batching=False, interpolation_scheme="mean",
+        smooth_type="on_flow_to_tref", knn_block_size=64,
+    )
+    defaults.update(kw)
+    return FocusLossConfig(**defaults)
+
+
+def trajectories_for_flow(times, flow_yx, tile=4):
+    """Absolute trajectory positions for constant flow: pos(t) = anchor + f*t."""
+    from motionpriorcmax_tpu.ops.grids import tile_mask_positions
+
+    pos = tile_mask_positions((H, W), tile).astype(np.float32)  # [N, 2]
+    f = np.asarray(flow_yx, dtype=np.float32)
+    t = np.asarray(times)[:, None, None]  # [T, 1, 1]
+    traj = pos[None] + f[None, None] * t  # [T, N, 2]
+    return jnp.asarray(traj[None])  # [1, T, N, 2]
+
+
+def test_reconstruction_times_layout():
+    cfg = make_cfg()
+    times = get_reconstruction_times(cfg, jax.random.PRNGKey(0))
+    assert times.shape == (1 + NBINS,)
+    mids = np.asarray(times[1:])
+    want = (np.linspace(0, 1, NBINS + 1)[:-1] + np.linspace(0, 1, NBINS + 1)[1:]) / 2
+    np.testing.assert_allclose(mids, want, atol=1e-6)
+    assert 0.0 <= float(times[0]) < 1.0
+
+
+def test_true_flow_sharper_than_zero_flow(rng):
+    cfg = make_cfg()
+    flow = (5.0, 7.0)
+    events = jnp.asarray(make_translating_events(rng, flow))
+    times = jnp.concatenate([jnp.asarray([0.5]),
+                             jnp.asarray((np.arange(NBINS) + 0.5) / NBINS)])
+
+    # Trajectories follow pos(t) = anchor + f * t; warping to t_ref then
+    # collapses all events of an edge onto one line -> sharp IWE.
+    traj_true = trajectories_for_flow(np.asarray(times), flow)
+    traj_zero = trajectories_for_flow(np.asarray(times), (0.0, 0.0))
+
+    loss_true, logs_true, misc = focus_loss(cfg, traj_true, times, events)
+    loss_zero, logs_zero, _ = focus_loss(cfg, traj_zero, times, events)
+    assert float(loss_true) < float(loss_zero), (
+        f"true-flow loss {float(loss_true)} !< zero-flow loss {float(loss_zero)}")
+    assert misc["iwes"].shape == (1, 1, H, W)
+
+
+def test_gradients_flow_to_trajectories(rng):
+    cfg = make_cfg(smooth_weight=0.01)
+    events = jnp.asarray(make_translating_events(rng))
+    times = jnp.concatenate([jnp.asarray([0.3]),
+                             jnp.asarray((np.arange(NBINS) + 0.5) / NBINS)])
+    traj = trajectories_for_flow(np.asarray(times), (2.0, 3.0))
+
+    def f(t):
+        return focus_loss(cfg, t, times, events)[0]
+
+    g = jax.grad(f)(traj)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.max(jnp.abs(g))) > 0.0
+
+
+def test_polarity_aware_batching(rng):
+    cfg = make_cfg(polarity_aware_batching=True)
+    ev = make_translating_events(rng)
+    # Pack positives first (collate contract).
+    order = np.argsort(-ev[0, :, 3], kind="stable")
+    ev = ev[:, order]
+    num_pos = int((ev[0, :, 3] > 0).sum())
+    times = jnp.concatenate([jnp.asarray([0.5]),
+                             jnp.asarray((np.arange(NBINS) + 0.5) / NBINS)])
+    traj = trajectories_for_flow(np.asarray(times), (1.0, 1.0))
+    loss, logs, misc = focus_loss(cfg, traj, times, jnp.asarray(ev),
+                                  num_pos_events=num_pos)
+    assert misc["iwes"].shape == (1, 1, 2, H, W)
+    assert np.isfinite(float(loss))
+
+
+def test_padding_events_do_not_contribute(rng):
+    cfg = make_cfg()
+    ev = make_translating_events(rng, m=256)
+    times = jnp.concatenate([jnp.asarray([0.5]),
+                             jnp.asarray((np.arange(NBINS) + 0.5) / NBINS)])
+    traj = trajectories_for_flow(np.asarray(times), (2.0, 2.0))
+    loss_a, _, misc_a = focus_loss(cfg, traj, times, jnp.asarray(ev))
+
+    # Append garbage padding rows with valid=0: IWEs must be identical.
+    pad = np.zeros((1, 64, 6), dtype=np.float32)
+    pad[..., 0] = 11.0; pad[..., 1] = 22.0; pad[..., 5] = 0.0
+    ev_padded = np.concatenate([ev, pad], axis=1)
+    loss_b, _, misc_b = focus_loss(cfg, traj, times, jnp.asarray(ev_padded))
+    np.testing.assert_allclose(np.asarray(misc_a["iwes"]),
+                               np.asarray(misc_b["iwes"]), atol=1e-5)
+    assert np.isclose(float(loss_a), float(loss_b), atol=1e-5)
+
+
+def test_smoothness_constant_below_random(rng):
+    """Constant flow is smoother than random flow.  (The absolute value is
+    NOT ~0: the reference Sobel uses zero padding — src/utils/loss.py:84-85 —
+    so a constant field still has border response, which we replicate.)"""
+    cfg = make_cfg(smooth_weight=1.0)
+    events = jnp.asarray(make_translating_events(rng))
+    times = jnp.concatenate([jnp.asarray([0.5]),
+                             jnp.asarray((np.arange(NBINS) + 0.5) / NBINS)])
+    traj_const = trajectories_for_flow(np.asarray(times), (3.0, 4.0))
+    _, logs_const, _ = focus_loss(cfg, traj_const, times, events)
+
+    noise = jnp.asarray(rng.normal(size=traj_const.shape).astype(np.float32)) * 5.0
+    _, logs_rand, _ = focus_loss(cfg, traj_const + noise, times, events)
+    assert (float(logs_const["smoothness_loss"])
+            < float(logs_rand["smoothness_loss"]))
+
+
+def test_iwd_interpolation_scheme(rng):
+    cfg = make_cfg(interpolation_scheme="iwd")
+    events = jnp.asarray(make_translating_events(rng))
+    times = jnp.concatenate([jnp.asarray([0.5]),
+                             jnp.asarray((np.arange(NBINS) + 0.5) / NBINS)])
+    traj = trajectories_for_flow(np.asarray(times), (2.0, 1.0))
+    loss, _, _ = focus_loss(cfg, traj, times, events)
+    assert np.isfinite(float(loss))
