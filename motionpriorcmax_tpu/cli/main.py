@@ -1,0 +1,260 @@
+"""CLI subcommand implementations."""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from datetime import datetime
+from pathlib import Path
+
+import numpy as np
+
+
+def _flow_cfgs(config: dict):
+    from ..losses import make_loss
+    from ..training import TrajectoryNetConfig
+
+    mc, lc = config["model"], config["loss"]
+    cfg = TrajectoryNetConfig(
+        image_shape=tuple(mc["image_shape"]), lr=mc["lr"],
+        num_bins=mc["num_bins"], num_basis=mc["num_basis"],
+        patch_size=mc["patch_size"], model_type=mc.get("model_type", "default"),
+        basis_type=mc["basis_type"], skip_frames=mc.get("skip_frames", 1))
+    loss_cfg = make_loss(lc["loss_name"], image_shape=tuple(lc["image_shape"]),
+                         **{k: v for k, v in lc.items()
+                            if k not in ("loss_name", "image_shape")})
+    return cfg, loss_cfg
+
+
+def cmd_flow_train(args) -> int:
+    """Self-supervised DSEC flow training (reference scripts/flow_training.py)."""
+    from ..config import load_yaml, propagate_config
+    from ..data import DsecDatasetProvider
+    from ..data.loader import DataLoader
+    from ..training.checkpoint import restore_checkpoint
+    from ..training.loop import train_flow
+    from ..training import create_train_state
+    import jax
+
+    config = propagate_config(load_yaml(args.config))
+    cfg, loss_cfg = _flow_cfgs(config)
+    dc = config["data"]
+    pab = dc.get("polarity_aware_batching", False)
+
+    capacity = args.event_capacity
+    pos_capacity = capacity // 2 if pab else None
+
+    def make_loader(split, shuffle):
+        provider = DsecDatasetProvider(
+            dc["data_path"], split=split, num_bins=dc["num_bins"],
+            polarity_aware_batching=pab)
+        return DataLoader(provider, batch_size=dc["batch_size"],
+                          capacity=capacity, shuffle=shuffle,
+                          num_workers=dc.get("num_workers", 8),
+                          polarity_aware=pab, pos_capacity=pos_capacity)
+
+    train_loader = make_loader("train", True)
+    val_loader = make_loader("val", False)
+
+    resume_state = None
+    if args.ckp_path:
+        template = create_train_state(cfg, jax.random.PRNGKey(0))
+        resume_state, step = restore_checkpoint(args.ckp_path, template)
+        print(f"resumed from {args.ckp_path} @ step {step}")
+
+    workdir = args.workdir or f"runs/flow_{datetime.now():%Y%m%d_%H%M%S}"
+    out = train_flow(cfg, loss_cfg, train_loader, val_loader, workdir,
+                     max_epochs=config.get("trainer", {}).get("max_epochs", 100),
+                     num_pos_events=pos_capacity if pab else -1,
+                     resume_state=resume_state)
+    print(f"done: best={out['best']:.4f} steps={out['steps']}")
+    return 0
+
+
+def cmd_dsec_infer(args) -> int:
+    """DSEC benchmark-submission inference (reference scripts/dsec_inference.py).
+
+    Loads bare UNet weights (torch .pth via the converter, or our .npz /
+    orbax), runs the 7 test sequences from the timestamp CSVs, writes 16-bit
+    PNGs with the 60 px magnitude cap.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..config import load_yaml, propagate_config
+    from ..data import DsecSequence
+    from ..training import TrajectoryNetConfig, TrajectoryModel, predict_flow
+    from ..training.trajectory_net import TrainState
+    from ..training.checkpoint import extract_model_weights, torch_unet_to_flax
+    from ..utils import save_flow_png, scale_optical_flow
+
+    config = propagate_config(load_yaml(args.config))
+    cfg, _ = _flow_cfgs({**config, "loss": config.get("loss", {
+        "loss_name": "FOCUS", "image_shape": config["model"]["image_shape"]})})
+
+    ckpt_path = config["model"]["ckpt_path"]
+    if str(ckpt_path).endswith((".pth", ".ckpt")):
+        params, stats = torch_unet_to_flax(extract_model_weights(ckpt_path))
+        params = {"unet": params}
+        stats = {"unet": stats}
+    else:
+        raise SystemExit("dsec-infer expects a .pth/.ckpt reference checkpoint")
+
+    import optax
+
+    state = TrainState.create(apply_fn=None, params=params,
+                              tx=optax.identity(), batch_stats=stats)
+
+    timestamp_dir = Path(args.timestamp_dir)
+    test_seqs = sorted(p.stem for p in timestamp_dir.glob("*.csv"))
+    dataset_dir = Path(config["data"]["root_dir"]) / "test"
+    run_out = Path(config["output_dir"]) / f"{datetime.now():%Y%m%d_%H%M%S}"
+
+    predict = jax.jit(lambda s, v: predict_flow(s, v, cfg))
+
+    for seq_name in test_seqs:
+        seq = DsecSequence(dataset_dir / seq_name, "test",
+                           config["common"]["num_bins"],
+                           timestamp_path=str(timestamp_dir / f"{seq_name}.csv"))
+        out_dir = run_out / "flow" / seq_name
+        out_dir.mkdir(parents=True, exist_ok=True)
+        for i in range(len(seq)):
+            sample = seq[i]
+            # Voxelize on device from the raw events (TPU-first; the CPU
+            # voxel twin exists for parity tests).
+            from ..ops.events import voxel_grid_from_events, normalize_voxel_grid
+
+            ev = sample["events"]
+            voxel = voxel_grid_from_events(
+                jnp.asarray(ev[:, 0]), jnp.asarray(ev[:, 1]),
+                jnp.asarray(ev[:, 2] * (cfg.num_bins - 1)),
+                jnp.asarray(ev[:, 3]), jnp.ones(len(ev)),
+                num_bins=cfg.num_bins, height=cfg.image_shape[0],
+                width=cfg.image_shape[1])
+            voxel = normalize_voxel_grid(
+                voxel, config["data"].get("norm_type", "mean_std"))
+            flow = np.asarray(predict(state, voxel[None]))[0]
+            flow = scale_optical_flow(flow, 60)
+            fname = f"{str(int(sample['file_index'])).zfill(6)}.png"
+            save_flow_png(out_dir / fname, flow)
+        print(f"{seq_name}: {len(seq)} flow maps -> {out_dir}")
+    print("Done.")
+    return 0
+
+
+def cmd_traj_val(args) -> int:
+    """Trajectory validation on EVIMO2 (reference scripts/trajectory_inference.py)."""
+    import jax
+
+    from ..config import compose
+    from ..data.evimo2 import Evimo2Provider
+    from ..metrics import MetricBank
+    from ..models.raft_spline import RAFTSplineConfig
+    from ..training.raft_spline import (RAFTTrainConfig, create_raft_state,
+                                        raft_validation_step)
+    import functools
+    import jax.numpy as jnp
+
+    cfg_tree = compose(args.config_dir, args.config_name, args.overrides)
+    mc = cfg_tree["model"]
+    cfg = RAFTSplineConfig(
+        nbins_context=mc["num_bins"]["context"],
+        nbins_correlation=mc["num_bins"]["correlation"],
+        bezier_degree=mc["bezier_degree"], curve_type=mc["curve_type"],
+        detach_bezier=mc.get("detach_bezier", False),
+        use_events=mc.get("use_events", True),
+        use_boundary_images=mc.get("use_boundary_images", False),
+        ev_target_indices=tuple(mc["correlation"]["ev"]["target_indices"]),
+        ev_levels=tuple(mc["correlation"]["ev"]["levels"]),
+        iters=mc["num_iter"]["test"])
+
+    ds = cfg_tree["dataset"]
+    provider = Evimo2Provider(ds["path"], nbins_context=cfg.nbins_context,
+                              flow_time_ms=ds["flow_time"],
+                              normalize_voxel_grid=ds["normalize_voxel_grid"],
+                              flow_every_n_ms=ds["flow_every_n_ms"])
+
+    state = create_raft_state(cfg, RAFTTrainConfig(use_scheduler=False),
+                              jax.random.PRNGKey(0))
+    ckpt = cfg_tree.get("checkpoint")
+    if ckpt and Path(str(ckpt)).exists():
+        from ..training.checkpoint import restore_checkpoint
+
+        state, _ = restore_checkpoint(str(ckpt), state)
+
+    num_steps = int(ds["flow_time"] // ds["flow_every_n_ms"])
+    ts = tuple(np.linspace(0, 1, num_steps + 1)[1:].tolist())
+    step = jax.jit(functools.partial(raft_validation_step, cfg=cfg,
+                                     flow_timestamps=ts))
+
+    bank = MetricBank()
+    bsz = cfg_tree.get("batch_size", 8)
+    n = len(provider)
+    for i0 in range(0, n - n % bsz, bsz):
+        samples = [provider[i] for i in range(i0, i0 + bsz)]
+        batch = {
+            "ev_repr": jnp.asarray(np.stack([s["ev_repr"] for s in samples])),
+            "flow": jnp.asarray(np.stack([s["flow"] for s in samples])),
+            "flow_valid": jnp.asarray(np.stack([s["flow_valid"] for s in samples])),
+        }
+        logs = step(state, batch)
+        vals = {k: float(v) for k, v in logs.items() if not k.endswith("__weight")}
+        wgts = {k: float(logs.get(f"{k}__weight", 1.0)) for k in vals}
+        bank.update(vals, wgts)
+
+    results = bank.compute()
+    print("==========================")
+    print("Validation results:")
+    for key in ("val/masked_TEPE", "val/masked_TAE", "val/masked_T3PE"):
+        if key in results:
+            print(f"{key}: {results[key]:.4f}")
+    print("==========================")
+    for k in sorted(results):
+        print(f"{k}: {results[k]:.5f}")
+    return 0
+
+
+def cmd_extract_weights(args) -> int:
+    """Lightning ckpt -> bare weights npz (reference
+    scripts/extract_weights_from_checkpoint.py)."""
+    from ..training.checkpoint import extract_model_weights
+
+    weights = extract_model_weights(args.ckpt)
+    np.savez(args.out, **weights)
+    print(f"wrote {len(weights)} arrays -> {args.out}")
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="motionpriorcmax_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("flow-train", help="self-supervised DSEC flow training")
+    p.add_argument("--config", required=True)
+    p.add_argument("--workdir", default=None)
+    p.add_argument("--ckp_path", default=None)
+    p.add_argument("--event-capacity", type=int, default=1 << 20)
+    p.set_defaults(fn=cmd_flow_train)
+
+    p = sub.add_parser("dsec-infer", help="DSEC benchmark PNG inference")
+    p.add_argument("--config", required=True)
+    p.add_argument("--timestamp-dir", default="config/misc/dsec_test_timestamps")
+    p.set_defaults(fn=cmd_dsec_infer)
+
+    p = sub.add_parser("traj-val", help="EVIMO2 trajectory validation")
+    p.add_argument("--config-dir", required=True)
+    p.add_argument("--config-name", default="val")
+    p.add_argument("overrides", nargs="*")
+    p.set_defaults(fn=cmd_traj_val)
+
+    p = sub.add_parser("extract-weights", help="ckpt -> bare weights npz")
+    p.add_argument("ckpt")
+    p.add_argument("out")
+    p.set_defaults(fn=cmd_extract_weights)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -11,6 +11,8 @@ loop (e)).
 from .keys import DataSetType, BatchKeys
 from .collate import pad_events, collate_fixed_capacity
 from .dsec import DsecSequence, DsecDatasetProvider, TRAIN_SEQS, VAL_SEQS
+from .evimo2 import Evimo2Datasubset, Evimo2Provider
+from .multiflow import MultiflowDatasubset, MultiflowProvider, MultiflowSample
 
 __all__ = [
     "DataSetType",
@@ -21,4 +23,9 @@ __all__ = [
     "DsecDatasetProvider",
     "TRAIN_SEQS",
     "VAL_SEQS",
+    "Evimo2Datasubset",
+    "Evimo2Provider",
+    "MultiflowDatasubset",
+    "MultiflowProvider",
+    "MultiflowSample",
 ]

@@ -164,6 +164,29 @@ class DsecSequence:
     def rectify_events(self, x: np.ndarray, y: np.ndarray) -> np.ndarray:
         return self.rectify_ev_map[y, x]
 
+    def _pack_events(self, ev: Dict[str, np.ndarray]) -> np.ndarray:
+        """Rectify + normalize-t + bin + bounds-mask -> [M, 5] (y,x,t,p,bin).
+
+        Uses the native C++ kernel when built (motionpriorcmax_tpu.native,
+        replacing the reference's Numba layer); NumPy fallback is
+        semantics-identical (loader.py:152-161).
+        """
+        from .. import native
+
+        if native.available():
+            return native.pack_dsec_events(
+                ev["x"], ev["y"], ev["t"], ev["p"],
+                self.rectify_ev_map.astype(np.float32),
+                self.height, self.width, self.num_bins)
+        xy_rect = self.rectify_events(ev["x"], ev["y"])
+        x_rect, y_rect = xy_rect[..., 0], xy_rect[..., 1]
+        t = (ev["t"] - ev["t"].min()) / max(ev["t"].max() - ev["t"].min(), 1)
+        bin_indices = np.clip(np.searchsorted(self.t_bins, t) - 1, 0, None)
+        events = np.column_stack((y_rect, x_rect, t, ev["p"], bin_indices))
+        mask = ((0 <= events[:, 0]) & (events[:, 0] < self.height)
+                & (0 <= events[:, 1]) & (events[:, 1] < self.width))
+        return events[mask].astype("float32")
+
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
         t_start, t_end = self.timestamps_flow[index]
         file_index = int(self.indices[index])
@@ -174,15 +197,7 @@ class DsecSequence:
         }
 
         ev = self.event_slicer.get_events(int(t_start), int(t_end))
-        xy_rect = self.rectify_events(ev["x"], ev["y"])
-        x_rect, y_rect = xy_rect[..., 0], xy_rect[..., 1]
-
-        t = (ev["t"] - ev["t"].min()) / max(ev["t"].max() - ev["t"].min(), 1)
-        bin_indices = np.clip(np.searchsorted(self.t_bins, t) - 1, 0, None)
-        events = np.column_stack((y_rect, x_rect, t, ev["p"], bin_indices))
-        mask = ((0 <= events[:, 0]) & (events[:, 0] < self.height)
-                & (0 <= events[:, 1]) & (events[:, 1] < self.width))
-        events = events[mask].astype("float32")
+        events = self._pack_events(ev)
 
         if self.polarity_aware_batching:
             out["pos_events"] = events[events[:, 3] == 1]

@@ -1,0 +1,151 @@
+"""Multi-target correlation volumes with per-target pyramid depth.
+
+TPU-native redesign of the reference corr machinery
+(src/models/raft_spline/corr.py, SURVEY.md C30):
+  * all-pairs dot-product volumes fmap1^T fmap2 / sqrt(dim) for one reference
+    against N targets (corr.py:235-270) — one batched einsum on the MXU
+  * per-target pyramid: level L keeps only targets with levels >= L,
+    avg-pooled 2x from the previous level (corr.py:296-302)
+  * lookup: a (2r+1)^2 window around curve-predicted coords per level via
+    bilinear sampling, concatenated to [B, sum_l T_l*(2r+1)^2, h, w]
+    (corr.py:304-348)
+
+The irregular per-target structure is *static* (target indices and levels
+come from config), so the pyramid unrolls at trace time into fixed-shape
+arrays — no dynamic shapes under jit (SURVEY.md §7.3 item 5).
+
+The reference's grid_sample-based bilinear_sampler (utils.py:4-20,
+align_corners=True, zero padding) becomes an explicit gather+lerp.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def compute_corr_volume(fmap1: jnp.ndarray, fmap2: jnp.ndarray) -> jnp.ndarray:
+    """All-pairs correlation: [B,D,h,w] x [T,B,D,h,w] -> [T,B,h*w,h,w].
+
+    Reference: _corr_dot_prod_1_to_N + _corr_dot_prod_util (corr.py:235-270),
+    including the 1/sqrt(D) scaling.
+    """
+    b, d, h, w = fmap1.shape
+    t = fmap2.shape[0]
+    f1 = fmap1.reshape(b, d, h * w)
+    f2 = fmap2.reshape(t, b, d, h * w)
+    corr = jnp.einsum("bdq,tbdp->tbqp", f1, f2,
+                      preferred_element_type=jnp.float32)
+    corr = corr / jnp.sqrt(jnp.asarray(d, corr.dtype))
+    return corr.reshape(t, b, h * w, h, w)
+
+
+def _avg_pool2(x: jnp.ndarray) -> jnp.ndarray:
+    """2x2 average pool on the last two dims (F.avg_pool2d(corr, 2, 2))."""
+    lead = x.shape[:-2]
+    h, w = x.shape[-2:]
+    x = x.reshape(lead + (h // 2, 2, w // 2, 2))
+    return x.mean(axis=(-3, -1))
+
+
+def build_corr_pyramid(
+    corr: jnp.ndarray, num_levels_per_target: Sequence[int]
+) -> List[Tuple[Tuple[int, ...], jnp.ndarray]]:
+    """[(target_indices, corr_level [T_l, B, h1*w1, h_l, w_l]), ...].
+
+    Level 1 holds all targets at full resolution; level L keeps targets with
+    levels >= L, each avg-pooled from its level L-1 volume (corr.py:296-302).
+    """
+    levels = list(num_levels_per_target)
+    assert corr.shape[0] == len(levels)
+    pyramid = [(tuple(range(len(levels))), corr)]
+    for lvl in range(2, max(levels) + 1):
+        keep = tuple(i for i, v in enumerate(levels) if v >= lvl)
+        prev_idx, prev = pyramid[-1]
+        sel = jnp.stack([prev[prev_idx.index(i)] for i in keep], axis=0)
+        pyramid.append((keep, _avg_pool2(sel)))
+    return pyramid
+
+
+def bilinear_sample_hw(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Sample img[..., H, W] at fractional (x, y); zeros outside.
+
+    Matches torch grid_sample(align_corners=True, padding_mode='zeros') after
+    the reference's [0, N-1] -> [-1, 1] mapping (utils.py:4-20): align_corners
+    grid sampling in normalized coords is exactly pixel-coordinate bilinear
+    interpolation with zero out-of-range corners.
+
+    Args:
+      img: [N, H, W]; x, y: [N, K].
+    Returns:
+      [N, K].
+    """
+    n, h, w = img.shape
+    x0 = jnp.floor(x); y0 = jnp.floor(y)
+    fx = x - x0; fy = y - y0
+    x0i = x0.astype(jnp.int32); y0i = y0.astype(jnp.int32)
+
+    flat = img.reshape(n, h * w)
+
+    def corner(yi, xi, wgt):
+        inb = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+        idx = jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)
+        vals = jnp.take_along_axis(flat, idx, axis=1)
+        return vals * wgt * inb.astype(img.dtype)
+
+    return (corner(y0i, x0i, (1 - fy) * (1 - fx))
+            + corner(y0i, x0i + 1, (1 - fy) * fx)
+            + corner(y0i + 1, x0i, fy * (1 - fx))
+            + corner(y0i + 1, x0i + 1, fy * fx))
+
+
+def lookup_corr_pyramid(
+    pyramid: List[Tuple[Tuple[int, ...], jnp.ndarray]],
+    coords: jnp.ndarray,
+    radius: int = 4,
+) -> jnp.ndarray:
+    """Sample a (2r+1)^2 window per level/target around predicted coords.
+
+    Reference: CorrBlockParallelMultiTarget.__call__ (corr.py:304-348).
+
+    Args:
+      pyramid: from build_corr_pyramid.
+      coords: [T0, B, 2, h1, w1], channel order (x, y) in level-0 pixels.
+      radius: lookup radius r (config radius 4, raft.py:39).
+
+    Returns:
+      [B, sum_l T_l*(2r+1)^2, h1, w1].
+    """
+    t0, b, _, h1, w1 = coords.shape
+    r = radius
+    k = (2 * r + 1) ** 2
+    d = jnp.arange(-r, r + 1, dtype=jnp.float32)
+    # delta order matches torch meshgrid(dy, dx, 'ij')[::-1] stacked (x, y):
+    # rows scan dy, cols scan dx.
+    ddx = jnp.tile(d[None, :], (2 * r + 1, 1)).reshape(-1)   # x offsets
+    ddy = jnp.tile(d[:, None], (1, 2 * r + 1)).reshape(-1)   # y offsets
+
+    out_levels = []
+    for lvl, (target_idx, corr_l) in enumerate(pyramid):
+        tl = len(target_idx)
+        coords_sel = coords[jnp.asarray(target_idx)] / (2.0 ** lvl)
+        # [T_l, B, h1, w1] centers
+        cx = coords_sel[:, :, 0]
+        cy = coords_sel[:, :, 1]
+        # queries: [T_l*B*h1*w1]
+        cx = cx.reshape(-1, 1) + ddx[None, :]
+        cy = cy.reshape(-1, 1) + ddy[None, :]
+        h2, w2 = corr_l.shape[-2:]
+        img = corr_l.reshape(-1, h2, w2)  # T_l*B*h1*w1 query images
+        # corr_l layout is [T_l, B, q(h1*w1), h2, w2]; queries flatten the
+        # same way as (cx, cy) -> rows align.
+        feat = bilinear_sample_hw(img, cx, cy)  # [T_l*B*h1*w1, K]
+        feat = feat.reshape(tl, b, h1, w1, k)
+        out_levels.append(feat)
+
+    out = jnp.concatenate(out_levels, axis=0)            # [sumT, B, h1, w1, K]
+    out = jnp.transpose(out, (1, 0, 4, 2, 3))            # [B, sumT, K, h1, w1]
+    return out.reshape(b, -1, h1, w1)

@@ -1,0 +1,191 @@
+"""RAFTSpline: recurrent refinement of per-pixel curve parameters.
+
+TPU-native redesign of the reference network (src/models/raft_spline/raft.py,
+SURVEY.md C27).  Differences from the reference are structural, not
+semantic: the curve object becomes a plain params array threaded through the
+iteration loop; the corr pyramid is built once per forward from static config
+lists; the encoder/update block are flax modules (extractor.py, update.py).
+
+Pinned reference behavior:
+  * voxel slicing: corr windows at [0] + target_indices, context = last
+    nbins_context channels (raft.py:90-101)
+  * context split tanh(net) / relu(inp) (raft.py:148-150)
+  * lookup timestamps = dt * target_index with dt = 1/(nbins_context-1),
+    images looked up at t=1 (raft.py:159, 169-177)
+  * per-iteration: flows -> coords1 = coords0 + flows -> corr lookup ->
+    GRU update -> params += delta -> convex upsample (raft.py:165-189)
+  * optional detach of curve params per iteration (truncated BPTT,
+    raft.py:165-167)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..basis_mlp import BasisMLP
+from .corr import build_corr_pyramid, compute_corr_volume, lookup_corr_pyramid
+from .curves import coords_grid, curve_flow_from_reference, curve_params_init, \
+    cvx_upsample
+from .extractor import BasicEncoder
+from .update import BasicUpdateBlock
+
+
+@dataclasses.dataclass(frozen=True)
+class RAFTSplineConfig:
+    """Leaf names match config/exe/trajectory_inference/model/*.yaml."""
+
+    nbins_context: int = 41
+    nbins_correlation: int = 25
+    bezier_degree: int = 10
+    curve_type: str = "BEZIER"          # BEZIER | POLYNOMIAL | LEARNED
+    detach_bezier: bool = False
+    use_events: bool = True
+    use_boundary_images: bool = False
+    ev_target_indices: Tuple[int, ...] = (8, 16, 24, 32, 40)
+    ev_levels: Tuple[int, ...] = (1, 1, 1, 1, 4)
+    img_levels: int = 4
+    radius: int = 4
+    hidden_dim: int = 128
+    context_dim: int = 128
+    context_norm: str = "batch"
+    feature_dim: int = 256
+    feature_norm: str = "instance"
+    motion_dim: int = 128
+    iters: int = 12
+
+    def __post_init__(self):
+        assert self.use_events or self.use_boundary_images
+        if self.use_events:
+            assert 0 not in self.ev_target_indices
+            assert len(self.ev_target_indices) == len(self.ev_levels) > 0
+            assert max(self.ev_target_indices) < self.nbins_context
+        assert self.bezier_degree >= 1
+
+    @property
+    def nbins_total(self) -> int:
+        # Invariant nbins_total = context + corr - 1 (multiflow/sample.py:62,
+        # asserted at src/modules/raft_spline.py:107-108).
+        return self.nbins_context + self.nbins_correlation - 1
+
+    @property
+    def param_dim(self) -> int:
+        return 2 * self.bezier_degree
+
+
+class RAFTSpline(nn.Module):
+    cfg: RAFTSplineConfig
+
+    def setup(self):
+        cfg = self.cfg
+        context_in = 0
+        if cfg.use_events:
+            self.fnet_ev = BasicEncoder(output_dim=cfg.feature_dim,
+                                        norm_fn=cfg.feature_norm)
+            context_in += cfg.nbins_context
+        if cfg.use_boundary_images:
+            self.fnet_img = BasicEncoder(output_dim=cfg.feature_dim,
+                                         norm_fn=cfg.feature_norm)
+            context_in += 3
+        self.cnet = BasicEncoder(output_dim=cfg.hidden_dim + cfg.context_dim,
+                                 norm_fn=cfg.context_norm)
+        self.update_block = BasicUpdateBlock(param_dim=cfg.param_dim,
+                                             hidden_dim=cfg.hidden_dim,
+                                             motion_dim=cfg.motion_dim)
+        if cfg.curve_type == "LEARNED":
+            # 3-layer ReLU MLP (src/modules/raft_spline.py:29-35).
+            self.basis_mlp = BasisMLP(cfg.bezier_degree, depth=2,
+                                      activation="relu")
+
+    def gen_voxel_grids(self, voxel_grid: jnp.ndarray):
+        """Slice corr windows + context grid (raft.py:90-101)."""
+        cfg = self.cfg
+        assert voxel_grid.shape[1] == cfg.nbins_total, (
+            voxel_grid.shape, cfg.nbins_total)
+        corr_grids = [voxel_grid[:, idx:idx + cfg.nbins_correlation]
+                      for idx in (0, *cfg.ev_target_indices)]
+        context_grid = voxel_grid[:, -cfg.nbins_context:]
+        return corr_grids, context_grid
+
+    def _basis_apply(self):
+        if self.cfg.curve_type == "LEARNED":
+            return self.basis_mlp
+        return None
+
+    def __call__(self,
+                 voxel_grid: Optional[jnp.ndarray] = None,
+                 images: Optional[Sequence[jnp.ndarray]] = None,
+                 iters: Optional[int] = None,
+                 flow_init: Optional[jnp.ndarray] = None,
+                 test_mode: bool = False,
+                 train: bool = False):
+        cfg = self.cfg
+        iters = cfg.iters if iters is None else iters
+
+        pyramids = []          # list of (pyramid, lookup_timestamps per target)
+        lookup_ts: List[float] = []
+        context_input = None
+        levels_all: List[int] = []
+        corr_volumes = []
+
+        if cfg.use_events:
+            assert voxel_grid is not None
+            corr_grids, context_input = self.gen_voxel_grids(voxel_grid)
+            fmaps = self.fnet_ev(corr_grids)
+            fmaps = [f.astype(jnp.float32) for f in fmaps]
+            fmap1 = fmaps[0]
+            fmap2 = jnp.stack(fmaps[1:], axis=0)
+            corr_volumes.append(compute_corr_volume(fmap1, fmap2))
+            levels_all.extend(cfg.ev_levels)
+            dt = 1.0 / (cfg.nbins_context - 1)
+            lookup_ts.extend(dt * i for i in cfg.ev_target_indices)
+
+        if cfg.use_boundary_images:
+            assert images is not None and len(images) == 2
+            imgs = [2.0 * (im.astype(jnp.float32) / 255.0) - 1.0 for im in images]
+            fm = self.fnet_img(imgs)
+            corr_volumes.append(compute_corr_volume(fm[0], fm[1][None]))
+            levels_all.append(cfg.img_levels)
+            lookup_ts.append(1.0)
+            context_input = (imgs[0] if context_input is None
+                             else jnp.concatenate([context_input, imgs[0]], axis=1))
+
+        assert context_input is not None
+        corr = jnp.concatenate(corr_volumes, axis=0)
+        pyramid = build_corr_pyramid(corr, levels_all)
+
+        cnet = self.cnet(context_input)
+        net = jnp.tanh(cnet[:, :cfg.hidden_dim])
+        inp = jax.nn.relu(cnet[:, cfg.hidden_dim:])
+
+        b, _, h, w = context_input.shape
+        coords0 = coords_grid(b, h // 8, w // 8)
+        params = curve_params_init(b, cfg.bezier_degree, h, w, 8)
+        if flow_init is not None:
+            params = params + flow_init
+
+        ts = jnp.asarray(lookup_ts, jnp.float32)
+        basis_apply = self._basis_apply()
+
+        up_predictions = []
+        params_up = None
+        for itr in range(iters):
+            if cfg.detach_bezier:
+                params = jax.lax.stop_gradient(params)
+            flows = curve_flow_from_reference(params, ts, cfg.curve_type,
+                                              basis_apply)  # [T, B, 2, h, w]
+            coords1 = coords0[None] + flows
+            corr_total = lookup_corr_pyramid(pyramid, coords1, cfg.radius)
+            net, up_mask, delta = self.update_block(net, inp, corr_total, params)
+            params = params + delta
+            if not test_mode or itr == iters - 1:
+                params_up = cvx_upsample(params, up_mask)
+                up_predictions.append(params_up)
+
+        if test_mode:
+            return params, params_up
+        return up_predictions

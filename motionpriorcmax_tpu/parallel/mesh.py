@@ -66,9 +66,12 @@ def shard_batch(mesh: Mesh, batch: Dict[str, Any]) -> Dict[str, Any]:
     """
     out = {}
     for key, val in batch.items():
-        arr = np.asarray(val) if not isinstance(val, (int, float)) else val
-        if isinstance(arr, (int, float)):
-            out[key] = arr
+        if isinstance(val, (int, float)):
+            out[key] = val
+            continue
+        arr = np.asarray(val)
+        if arr.dtype.kind in ("U", "S", "O"):
+            # Host-only metadata (sample names etc.) — not device data.
             continue
         if arr.ndim == 0:
             out[key] = jax.device_put(arr, NamedSharding(mesh, P()))

@@ -1,0 +1,212 @@
+"""RAFT-Spline training/validation steps (reference C9 + the missing trainer).
+
+The reference RAFTSplineModule (src/modules/raft_spline.py) is validation-only
+(no training_step in the snapshot); here both paths exist:
+
+  raft_validation_step — reference :87-215: forward in test mode, evaluate
+    the upsampled curve at every GT flow timestamp, compute plain / masked /
+    ev-masked single+multi metrics and the linear-assumption baseline.
+  raft_train_step — the 'ours-selfsup' composition (experiment yaml
+    raft-spline_evimo2-300ms_ours-selfsup_Tab2L5.yaml): RAFT-Spline forward +
+    FocusLoss on the predicted curves, exactly as the flow path does for the
+    UNet (SURVEY.md §7.2 step 5).
+
+Optimizer: AdamW(lr, weight_decay) + optional OneCycle linear schedule
+(reference configure_optimizers :217-265).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax.training import train_state
+
+from ..losses import FocusLossConfig, focus_loss, get_reconstruction_times
+from ..metrics.core import (ae_masked, ae_masked_multi, epe_masked,
+                            epe_masked_multi, n_pixel_error_masked,
+                            predictions_from_lin_assumption,
+                            trajectory_flow_metrics)
+from ..models.raft_spline import RAFTSpline, RAFTSplineConfig
+from ..models.raft_spline.curves import curve_flow_from_reference
+from ..ops.grids import tile_mask_positions
+
+
+@dataclasses.dataclass(frozen=True)
+class RAFTTrainConfig:
+    learning_rate: float = 1e-4
+    weight_decay: float = 1e-4
+    use_scheduler: bool = True
+    total_steps: int = 100000
+    pct_start: float = 0.05
+
+
+class RAFTTrainState(train_state.TrainState):
+    batch_stats: Any = None
+
+
+def make_optimizer(tc: RAFTTrainConfig):
+    """AdamW + OneCycle (linear anneal, cycle_momentum=False) — reference
+    :227-265 uses total_steps+100 and per-step updates."""
+    import optax
+
+    if not tc.use_scheduler:
+        return optax.adamw(tc.learning_rate, weight_decay=tc.weight_decay)
+    sched = optax.linear_onecycle_schedule(
+        transition_steps=tc.total_steps + 100,
+        peak_value=tc.learning_rate,
+        pct_start=tc.pct_start,
+        pct_final=1.0,
+    )
+    return optax.adamw(sched, weight_decay=tc.weight_decay)
+
+
+def create_raft_state(cfg: RAFTSplineConfig, tc: RAFTTrainConfig,
+                      rng: jax.Array, image_hw: Tuple[int, int] = (384, 512)
+                      ) -> RAFTTrainState:
+    model = RAFTSpline(cfg)
+    h, w = image_hw
+    dummy = jnp.zeros((1, cfg.nbins_total, h, w), jnp.float32)
+    variables = model.init(rng, dummy, test_mode=True)
+    return RAFTTrainState.create(
+        apply_fn=model.apply,
+        params=variables["params"],
+        tx=make_optimizer(tc),
+        batch_stats=variables.get("batch_stats", {}),
+    )
+
+
+def _forward(cfg: RAFTSplineConfig, params, batch_stats, voxel, images,
+             test_mode: bool, train: bool):
+    model = RAFTSpline(cfg)
+    variables = {"params": params, "batch_stats": batch_stats}
+    if train and batch_stats:
+        out, mutated = model.apply(variables, voxel, images,
+                                   test_mode=test_mode, train=True,
+                                   mutable=["batch_stats"])
+        return out, mutated["batch_stats"]
+    out = model.apply(variables, voxel, images, test_mode=test_mode)
+    return out, batch_stats
+
+
+def raft_validation_step(state: RAFTTrainState, batch: Dict[str, jnp.ndarray],
+                         cfg: RAFTSplineConfig,
+                         flow_timestamps: Tuple[float, ...],
+                         ) -> Dict[str, jnp.ndarray]:
+    """Evaluate the curve at each GT timestamp; compute the metric suite.
+
+    Args:
+      batch: 'ev_repr' [B, nbins_total, H, W], 'flow' [B, M, 2, H, W]
+        (channel 0 = x, EVIMO2 convention), optional 'flow_valid' [B, M, H, W],
+        optional 'img' pair.
+      flow_timestamps: static GT timestamps (EVIMO2: linspace(0,1,M+1)[1:]).
+
+    Returns:
+      dict of metric (value, weight) pairs keyed like the reference printout
+      (val/masked_TEPE etc., scripts/trajectory_inference.py:91-97).
+    """
+    ev_repr = batch["ev_repr"]
+    images = batch.get("img")
+    (_, params_up), _ = _forward(cfg, state.params, state.batch_stats,
+                                 ev_repr, images, test_mode=True, train=False)
+
+    ts = jnp.asarray(flow_timestamps, jnp.float32)
+    preds = curve_flow_from_reference(params_up, ts, cfg.curve_type)
+    # preds: [M, B, 2, H, W] — channel order (x, y) matches EVIMO2 GT.
+    gt = jnp.moveaxis(batch["flow"], 1, 0)  # [M, B, 2, H, W]
+
+    event_mask = jnp.any(jnp.abs(ev_repr) > 0, axis=1)  # [B, H, W]
+    flow_valid = batch.get("flow_valid")
+    if flow_valid is not None:
+        valid = jnp.moveaxis(flow_valid, 1, 0).astype(bool)  # [M, B, H, W]
+        masks_ev = valid & event_mask[None]
+        masks = valid
+    else:
+        masks_ev = jnp.broadcast_to(event_mask[None], gt.shape[:2] + gt.shape[3:])
+        masks = None
+
+    logs: Dict[str, jnp.ndarray] = {}
+
+    def put(prefix, name, pair):
+        logs[f"{prefix}{name}"] = pair[0]
+        logs[f"{prefix}{name}__weight"] = pair[1]
+
+    # Plain single metrics on the last step (reference :159-162).
+    put("val/", "epe", epe_masked(preds[-1], gt[-1]))
+    put("val/", "ae", ae_masked(preds[-1], gt[-1]))
+    for n in (1, 2, 3):
+        put("val/", f"{n}pe", n_pixel_error_masked(preds[-1], gt[-1], None, n))
+    # Plain multi metrics.
+    put("val/", "epe_multi", epe_masked_multi(preds, gt))
+    put("val/", "ae_multi", ae_masked_multi(preds, gt))
+    for k, v in trajectory_flow_metrics(preds, gt).items():
+        logs[f"val/{k}"] = v
+
+    # Event-masked single on last step (reference :166-168).
+    put("val/masked_", "epe", epe_masked(preds[-1], gt[-1], event_mask.astype(bool)))
+    put("val/masked_", "ae", ae_masked(preds[-1], gt[-1], event_mask.astype(bool)))
+    for n in (1, 2, 3):
+        put("val/masked_", f"{n}pe",
+            n_pixel_error_masked(preds[-1], gt[-1], event_mask.astype(bool), n))
+
+    # Multi, flow-valid masked and ev-masked (reference :170-188).
+    if masks is not None:
+        put("val/masked_", "epe_multi", epe_masked_multi(preds, gt, masks))
+        put("val/masked_", "ae_multi", ae_masked_multi(preds, gt, masks))
+        for k, v in trajectory_flow_metrics(preds, gt, masks).items():
+            logs[f"val/masked_{k}"] = v
+    put("val/ev_masked_", "epe_multi", epe_masked_multi(preds, gt, masks_ev))
+    put("val/ev_masked_", "ae_multi", ae_masked_multi(preds, gt, masks_ev))
+    for k, v in trajectory_flow_metrics(preds, gt, masks_ev).items():
+        logs[f"val/ev_masked_{k}"] = v
+
+    # Linear-assumption baseline (reference :190-196).
+    preds_lin = predictions_from_lin_assumption(preds[-1], ts)
+    put("val/", "epe_multi_lin", epe_masked_multi(preds_lin, gt))
+    put("val/", "ae_multi_lin", ae_masked_multi(preds_lin, gt))
+    return logs
+
+
+def raft_train_step(state: RAFTTrainState, batch: Dict[str, jnp.ndarray],
+                    rng: jax.Array, cfg: RAFTSplineConfig,
+                    loss_cfg: FocusLossConfig, num_pos_events: int = -1,
+                    ) -> Tuple[RAFTTrainState, Dict[str, jnp.ndarray]]:
+    """Self-supervised trajectory training: CMax loss on every iteration's
+    upsampled curve prediction (the 'ours-selfsup' experiment; the snapshot
+    ships no reference training_step — composition per SURVEY.md §7.2-5)."""
+    h, w = loss_cfg.image_shape
+    offsets = jnp.asarray(
+        tile_mask_positions((h, w), loss_cfg.lut_superpixel_size)
+        .astype(np.float32))                                   # [N, 2] (y, x)
+    times = get_reconstruction_times(loss_cfg, rng)
+
+    def loss_fn(params):
+        preds, new_bs = _forward(cfg, params, state.batch_stats,
+                                 batch["ev_repr"], batch.get("img"),
+                                 test_mode=False, train=True)
+        # Supervise the final prediction (sum over iterations would mirror
+        # RAFT's gamma-weighted loss; final-only keeps compile light).
+        params_up = preds[-1]
+        s = loss_cfg.lut_superpixel_size
+        off = s // 2
+        sel = params_up[:, :, off::s, off::s]              # [B, 2*deg, Hn, Wn]
+        flows = curve_flow_from_reference(sel, times, cfg.curve_type)
+        # flows: [T, B, 2, Hn, Wn], curve channels (x, y) -> flip to the
+        # loss's (y, x) trajectory convention.
+        t_, b = flows.shape[:2]
+        flows_yx = jnp.stack([flows[:, :, 1], flows[:, :, 0]], axis=2)
+        flows_list = flows_yx.reshape(t_, b, 2, -1)        # [T, B, 2, N]
+        traj = offsets[None, None] + jnp.transpose(flows_list, (1, 0, 3, 2))
+        loss, log_data, _ = focus_loss(loss_cfg, traj, times, batch["events"],
+                                       num_pos_events=num_pos_events)
+        logs = {f"train_losses/{k}": v for k, v in log_data.items()}
+        return loss, (logs, new_bs)
+
+    (loss, (logs, new_bs)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(state.params)
+    state = state.apply_gradients(grads=grads, batch_stats=new_bs)
+    logs["train_losses/total"] = loss
+    return state, logs

@@ -1,0 +1,130 @@
+"""Torch-checkpoint ingestion parity: converted weights must reproduce the
+reference UNet's forward pass bit-for-spec (eval mode, running BN stats).
+
+The torch model here is an independent re-statement of the architecture
+described in SURVEY.md C8 (conv3x3-BN-ReLU x2 blocks, 4x maxpool down,
+4x ConvTranspose up with skip concat, 1x1 out conv) used purely as the
+conversion oracle.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn as tnn
+
+
+def _double(cin, cout):
+    return tnn.Sequential(
+        tnn.Conv2d(cin, cout, 3, padding=1, bias=False), tnn.BatchNorm2d(cout),
+        tnn.ReLU(inplace=True),
+        tnn.Conv2d(cout, cout, 3, padding=1, bias=False), tnn.BatchNorm2d(cout),
+        tnn.ReLU(inplace=True))
+
+
+class TorchUNet(tnn.Module):
+    def __init__(self, cin, cout):
+        super().__init__()
+        w = [64, 128, 256, 512, 1024]
+
+        class Inc(tnn.Module):
+            def __init__(self):
+                super().__init__()
+                self.double_conv = _double(cin, w[0])
+
+            def forward(self, x):
+                return self.double_conv(x)
+
+        self.inc = Inc()
+        for i in range(1, 5):
+            block = tnn.Sequential(tnn.MaxPool2d(2), tnn.Module())
+            block[1].double_conv = _double(w[i - 1], w[i])
+            block[1].forward = block[1].double_conv.forward
+            setattr(self, f"down{i}", tnn.Sequential())
+            getattr(self, f"down{i}").add_module("maxpool_conv", block)
+        for i in range(1, 5):
+            up = tnn.Module()
+            up.up = tnn.ConvTranspose2d(w[5 - i], w[5 - i] // 2, 2, stride=2)
+            conv = tnn.Module()
+            conv.double_conv = _double(w[5 - i], w[4 - i])
+            up.conv = conv
+            setattr(self, f"up{i}", up)
+        outc = tnn.Module()
+        outc.conv = tnn.Conv2d(w[0], cout, 1)
+        self.outc = outc
+
+    def forward(self, x):
+        x1 = self.inc(x)
+        x2 = self.down1[0][1].double_conv(self.down1[0][0](x1))
+        x3 = self.down2[0][1].double_conv(self.down2[0][0](x2))
+        x4 = self.down3[0][1].double_conv(self.down3[0][0](x3))
+        x5 = self.down4[0][1].double_conv(self.down4[0][0](x4))
+        y = x5
+        for i, skip in zip(range(1, 5), (x4, x3, x2, x1)):
+            up = getattr(self, f"up{i}")
+            y = up.up(y)
+            y = torch.cat([skip, y], dim=1)
+            y = up.conv.double_conv(y)
+        return self.outc.conv(y)
+
+
+def test_unet_weight_conversion_parity():
+    from motionpriorcmax_tpu.models.unet import UNet
+    from motionpriorcmax_tpu.training.checkpoint import torch_unet_to_flax
+
+    cin, cout = 5, 2
+    tmodel = TorchUNet(cin, cout)
+    # Randomize BN running stats so the conversion of stats is exercised.
+    with torch.no_grad():
+        for m in tmodel.modules():
+            if isinstance(m, tnn.BatchNorm2d):
+                m.running_mean.uniform_(-0.5, 0.5)
+                m.running_var.uniform_(0.5, 1.5)
+    tmodel.eval()
+
+    state_dict = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    params, stats = torch_unet_to_flax(state_dict)
+
+    x = np.random.default_rng(0).normal(size=(1, cin, 32, 48)).astype(np.float32)
+    with torch.no_grad():
+        want = tmodel(torch.from_numpy(x)).numpy()
+
+    model = UNet(cin, cout)
+    got = np.asarray(model.apply({"params": params, "batch_stats": stats},
+                                 jnp.asarray(x), train=False))
+    np.testing.assert_allclose(got, want, atol=2e-3, rtol=1e-3)
+
+
+def test_extract_model_weights(tmp_path):
+    from motionpriorcmax_tpu.training.checkpoint import extract_model_weights
+
+    sd = {"model.layer.weight": torch.ones(3), "other.bias": torch.zeros(2)}
+    p = tmp_path / "ckpt.ckpt"
+    torch.save({"state_dict": sd}, p)
+    out = extract_model_weights(str(p))
+    assert set(out) == {"layer.weight", "other.bias"}
+    np.testing.assert_allclose(out["layer.weight"], 1.0)
+
+
+def test_orbax_save_restore(tmp_path):
+    import optax
+
+    from motionpriorcmax_tpu.losses import FocusLossConfig
+    from motionpriorcmax_tpu.training import (TrajectoryNetConfig,
+                                              create_train_state)
+    from motionpriorcmax_tpu.training.checkpoint import (restore_checkpoint,
+                                                         save_checkpoint)
+
+    cfg = TrajectoryNetConfig(image_shape=(16, 16), num_bins=3)
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    state = state.replace(step=7)
+    save_checkpoint(str(tmp_path / "ckpt"), state, step=7)
+
+    fresh = create_train_state(cfg, jax.random.PRNGKey(1))
+    restored, step = restore_checkpoint(str(tmp_path / "ckpt"), fresh)
+    assert step == 7
+    a = jax.tree_util.tree_leaves(state.params)[0]
+    b = jax.tree_util.tree_leaves(restored.params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))

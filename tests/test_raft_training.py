@@ -1,0 +1,117 @@
+"""RAFT-Spline validation/training step tests (tiny config) + EVIMO2 synthetic."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from motionpriorcmax_tpu.losses import FocusLossConfig
+from motionpriorcmax_tpu.models.raft_spline import RAFTSplineConfig
+from motionpriorcmax_tpu.training.raft_spline import (
+    RAFTTrainConfig, create_raft_state, raft_train_step, raft_validation_step)
+
+H, W = 32, 32
+
+
+def tiny_cfg(**kw):
+    defaults = dict(nbins_context=5, nbins_correlation=3, bezier_degree=2,
+                    ev_target_indices=(2, 4), ev_levels=(1, 2), iters=2)
+    defaults.update(kw)
+    return RAFTSplineConfig(**defaults)
+
+
+def test_raft_validation_step(rng):
+    cfg = tiny_cfg()
+    tc = RAFTTrainConfig(use_scheduler=False)
+    state = create_raft_state(cfg, tc, jax.random.PRNGKey(0), (H, W))
+    m = 3
+    batch = {
+        "ev_repr": jnp.asarray(rng.normal(size=(2, cfg.nbins_total, H, W))
+                               .astype(np.float32)),
+        "flow": jnp.asarray(rng.normal(size=(2, m, 2, H, W)).astype(np.float32)),
+        "flow_valid": jnp.asarray(rng.uniform(size=(2, m, H, W)) > 0.3),
+    }
+    ts = tuple(np.linspace(0, 1, m + 1)[1:].tolist())
+    logs = raft_validation_step(state, batch, cfg, ts)
+    for key in ("val/epe", "val/masked_epe", "val/ev_masked_TEPE",
+                "val/masked_TAE", "val/masked_T3PE", "val/epe_multi_lin",
+                "val/EPE_STEP00"):
+        assert key in logs, key
+        assert np.isfinite(float(logs[key])), key
+
+
+def test_raft_train_step_updates_params(rng):
+    cfg = tiny_cfg()
+    tc = RAFTTrainConfig(use_scheduler=False, learning_rate=1e-4)
+    state = create_raft_state(cfg, tc, jax.random.PRNGKey(0), (H, W))
+    loss_cfg = FocusLossConfig(
+        image_shape=(H, W), num_tref=1, num_bins=5, num_knn=4,
+        smooth_weight=0.01, lut_superpixel_size=4, focus_loss_norm="l1",
+        polarity_aware_batching=False, interpolation_scheme="mean",
+        knn_block_size=64)
+    m_ev = 256
+    y = rng.uniform(0, H - 1, (1, m_ev)); x = rng.uniform(0, W - 1, (1, m_ev))
+    t = rng.uniform(0, 1, (1, m_ev))
+    p = rng.integers(0, 2, (1, m_ev)).astype(np.float32)
+    b = np.clip((t * 5).astype(np.int32), 0, 4)
+    events = np.stack([y, x, t, p, b, np.ones((1, m_ev))], -1).astype(np.float32)
+    batch = {
+        "ev_repr": jnp.asarray(rng.normal(size=(1, cfg.nbins_total, H, W))
+                               .astype(np.float32)),
+        "events": jnp.asarray(events),
+    }
+    step = jax.jit(functools.partial(raft_train_step, cfg=cfg,
+                                     loss_cfg=loss_cfg))
+    new_state, logs = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(logs["train_losses/total"]))
+    a = jax.tree_util.tree_leaves(state.params)[0]
+    bb = jax.tree_util.tree_leaves(new_state.params)[0]
+    assert not np.allclose(np.asarray(a), np.asarray(bb))
+
+
+def make_synthetic_evimo2(root, n_events=4000, n_flows=8):
+    import h5py
+
+    seq = root / "imo" / "eval" / "seq_a"
+    seq.mkdir(parents=True)
+    rng = np.random.default_rng(3)
+    t = np.sort(rng.uniform(0.0, 5.0, n_events))
+    xy = np.stack([rng.integers(0, 640, n_events),
+                   rng.integers(0, 480, n_events)], axis=1).astype(np.int16)
+    p = rng.integers(0, 2, n_events).astype(np.int8)
+    np.save(seq / "dataset_events_t.npy", t)
+    np.save(seq / "dataset_events_xy.npy", xy)
+    np.save(seq / "dataset_events_p.npy", p)
+
+    flow_time = np.linspace(1.0, 4.0, n_flows)
+    multiflow = rng.normal(size=(n_flows, 10, 2, 480, 640)).astype(np.float32)
+    multiflow[0, :, :, :8, :8] = np.nan  # some invalid pixels
+    obj_id = rng.integers(0, 3, (n_flows, 480, 640)).astype(np.uint8)
+    with h5py.File(seq / "dataset_multiflow_10steps_vis.h5", "w") as f:
+        f.create_dataset("time", data=flow_time)
+        f.create_dataset("multiflow", data=multiflow)
+        f.create_dataset("obj_id_mask", data=obj_id)
+    return root
+
+
+@pytest.mark.filterwarnings("ignore")
+def test_evimo2_datasubset(tmp_path):
+    from motionpriorcmax_tpu.data.evimo2 import Evimo2Provider
+
+    make_synthetic_evimo2(tmp_path)
+    provider = Evimo2Provider(tmp_path, nbins_context=41, flow_time_ms=300,
+                              provide_raw_events=True)
+    assert len(provider) >= 1
+    s = provider[0]
+    assert s["ev_repr"].shape == (65, 384, 512)
+    assert s["flow"].shape == (6, 2, 384, 512)          # 300ms / 50ms steps
+    assert s["flow_valid"].shape == (6, 384, 512)
+    np.testing.assert_allclose(
+        s["flow_timestamps"], np.linspace(0, 1, 7)[1:], atol=1e-6)
+    ev = s["events"]
+    assert ev.shape[1] == 5
+    assert 0 <= ev[:, 2].min() and ev[:, 2].max() <= 1
+    assert ev[:, 4].max() <= 40
+    assert s["bin_meta"]["nbins_total"] == 65
