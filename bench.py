@@ -56,16 +56,19 @@ def main():
     step = jax.jit(functools.partial(train_step, cfg=cfg, loss_cfg=loss_cfg),
                    donate_argnums=(0,))
 
-    # Warmup/compile.
+    # Warmup/compile.  Synchronize by materializing the loss to host:
+    # block_until_ready has been observed not to block on tunneled platforms.
     key = jax.random.PRNGKey(1)
     state, logs = step(state, batch_dict, key)
-    jax.block_until_ready(logs["train_losses/total"])
+    float(logs["train_losses/total"])
 
     iters = 10
     t0 = time.perf_counter()
     for i in range(iters):
         state, logs = step(state, batch_dict, jax.random.PRNGKey(i))
-    jax.block_until_ready(logs["train_losses/total"])
+    # The loss of step i depends on the updated state of step i-1, so this
+    # host read forces the whole chain.
+    float(logs["train_losses/total"])
     dt = time.perf_counter() - t0
 
     events_per_s = batch * m * iters / dt

@@ -57,6 +57,10 @@ class FocusLossConfig:
     polarity_aware_batching: bool = True
     interpolation_scheme: str = "mean"
     smooth_type: str = "on_flow_to_tref"
+    # Objective sharpness measure: 'gradient_magnitude' (reference FocusLoss
+    # default, focus.py:90) or 'variance' (utils/loss.py:6-16; exercised by
+    # BASELINE.json config 2).
+    loss_type: str = "gradient_magnitude"
     # TPU tiling knob (no reference analog): queries per KNN block.
     knn_block_size: int = 1024
 
@@ -294,7 +298,7 @@ def focus_loss(
     warped = warp_events(cfg, events, flow_lut)
     iwes = make_iwes(cfg, warped, t_ref, num_pos_events)
 
-    focus = grad_ops.focus_objective(iwes, loss_type="gradient_magnitude",
+    focus = grad_ops.focus_objective(iwes, loss_type=cfg.loss_type,
                                      norm=cfg.focus_loss_norm)
     smooth = calculate_smooth_loss(cfg, flow_lut, flow_to_next)
     loss = focus + smooth

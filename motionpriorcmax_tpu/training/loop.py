@@ -120,6 +120,10 @@ def train_flow(
             metric = val.get(monitor, val.get("val_losses/total"))
             if metric is not None and metric < best:
                 best = metric
+                # Best-run summary: push '<key>_at_best' for every metric at
+                # the new best step (reference log_best_metrics,
+                # src/utils/metrics.py:5-31).
+                logger.log(step, {f"{k}_at_best": v for k, v in val.items()})
                 save_checkpoint(str(Path(workdir) / "checkpoints"), state,
                                 step=step)
         else:

@@ -70,7 +70,10 @@ def create_raft_state(cfg: RAFTSplineConfig, tc: RAFTTrainConfig,
     model = RAFTSpline(cfg)
     h, w = image_hw
     dummy = jnp.zeros((1, cfg.nbins_total, h, w), jnp.float32)
-    variables = model.init(rng, dummy, test_mode=True)
+    # jit the init: eager init dispatches every op individually, which is
+    # minutes of round-trips on a tunneled TPU (~240 s at EVIMO2 scale).
+    init = jax.jit(lambda r, v: RAFTSpline(cfg).init(r, v, test_mode=True))
+    variables = init(rng, dummy)
     return RAFTTrainState.create(
         apply_fn=model.apply,
         params=variables["params"],

@@ -90,10 +90,11 @@ def create_train_state(cfg: TrajectoryNetConfig, rng: jax.Array,
     model = TrajectoryModel(cfg)
     h, w = cfg.image_shape
     dummy = jnp.zeros((sample_batch, cfg.num_bins, h, w), jnp.float32)
-    variables = model.init(rng, dummy, train=False)
+    # jit init: eager init is minutes of per-op round-trips on tunneled TPUs.
+    init = jax.jit(lambda r, v: TrajectoryModel(cfg).init(r, v, train=False))
+    variables = init(rng, dummy)
     if cfg.basis_type == "learned":
         # Also trace the basis path so the MLP parameters materialize.
-        variables = model.init(rng, dummy, train=False)
         basis_vars = model.init(rng, jnp.zeros((2,)), method=TrajectoryModel.basis)
         params = {**variables["params"], **basis_vars["params"]}
     else:
