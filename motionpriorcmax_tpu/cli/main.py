@@ -214,6 +214,114 @@ def cmd_traj_val(args) -> int:
     return 0
 
 
+def cmd_traj_train(args) -> int:
+    """Self-supervised trajectory training (RAFT-Spline + CMax loss).
+
+    The reference snapshot ships no trajectory trainer (its RAFTSplineModule
+    is validation-only, SURVEY.md C9); this implements the 'ours-selfsup'
+    experiment composition per the experiment YAML's training/loss sections.
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..config import compose
+    from ..data.collate import collate_fixed_capacity
+    from ..data.evimo2 import Evimo2Datasubset
+    from ..data.loader import DataLoader
+    from ..losses import make_loss
+    from ..models.raft_spline import RAFTSplineConfig
+    from ..training.checkpoint import save_checkpoint
+    from ..training.loop import ScalarLogger
+    from ..training.raft_spline import (RAFTTrainConfig, create_raft_state,
+                                        raft_train_step)
+
+    cfg_tree = compose(args.config_dir, args.config_name, args.overrides)
+    mc = cfg_tree["model"]
+    cfg = RAFTSplineConfig(
+        nbins_context=mc["num_bins"]["context"],
+        nbins_correlation=mc["num_bins"]["correlation"],
+        bezier_degree=mc["bezier_degree"], curve_type=mc["curve_type"],
+        detach_bezier=mc.get("detach_bezier", False),
+        use_events=mc.get("use_events", True),
+        use_boundary_images=mc.get("use_boundary_images", False),
+        ev_target_indices=tuple(mc["correlation"]["ev"]["target_indices"]),
+        ev_levels=tuple(mc["correlation"]["ev"]["levels"]),
+        iters=mc["num_iter"]["train"])
+
+    lc = dict(cfg_tree["loss"])
+    pab = lc.get("polarity_aware_batching", False)
+    image_hw = (384, 512)
+    loss_cfg = make_loss(lc.pop("type", "FOCUS"), image_shape=image_hw, **lc)
+
+    tcfg = cfg_tree["training"]
+    tc = RAFTTrainConfig(learning_rate=tcfg["learning_rate"],
+                         weight_decay=tcfg["weight_decay"],
+                         use_scheduler=tcfg["lr_scheduler"]["use"],
+                         total_steps=args.max_steps)
+
+    ds = cfg_tree["dataset"]
+    # Training uses the eval dirs' sibling train split when present.
+    from pathlib import Path as _P
+
+    train_root = _P(ds["path"]) / "imo" / "train"
+    subset_dirs = sorted(train_root.iterdir()) if train_root.is_dir() else []
+    assert subset_dirs, f"no training sequences under {train_root}"
+    subsets = [Evimo2Datasubset(d, cfg.nbins_context, ds["flow_time"],
+                                ds["normalize_voxel_grid"],
+                                provide_raw_events=True,
+                                polarity_aware_batching=pab,
+                                flow_every_n_ms=ds["flow_every_n_ms"])
+               for d in subset_dirs]
+
+    class _Concat:
+        def __init__(self, parts):
+            self.parts = parts
+            self.cum = np.cumsum([0] + [len(p) for p in parts])
+
+        def __len__(self):
+            return int(self.cum[-1])
+
+        def __getitem__(self, i):
+            si = int(np.searchsorted(self.cum, i, "right")) - 1
+            return self.parts[si][i - int(self.cum[si])]
+
+    capacity = args.event_capacity
+    pos_capacity = capacity // 2 if pab else None
+    loader = DataLoader(_Concat(subsets), batch_size=tcfg["batch_size"],
+                        capacity=capacity, polarity_aware=pab,
+                        pos_capacity=pos_capacity,
+                        num_workers=cfg_tree.get("hardware", {}).get("num_workers", 8))
+
+    state = create_raft_state(cfg, tc, jax.random.PRNGKey(0), image_hw)
+    step = jax.jit(functools.partial(
+        raft_train_step, cfg=cfg, loss_cfg=loss_cfg,
+        num_pos_events=pos_capacity if pab else -1))
+
+    workdir = args.workdir or f"runs/traj_{datetime.now():%Y%m%d_%H%M%S}"
+    logger = ScalarLogger(workdir)
+    key = jax.random.PRNGKey(1)
+    n_steps = 0
+    while n_steps < args.max_steps:
+        for batch in loader:
+            key, sub = jax.random.split(key)
+            dev_batch = {"ev_repr": jnp.asarray(batch["ev_repr"]),
+                         "events": jnp.asarray(batch["events"])}
+            state, logs = step(state, dev_batch, sub)
+            n_steps += 1
+            if n_steps % args.log_every == 0:
+                logger.log(n_steps, {k: float(v) for k, v in logs.items()})
+            if n_steps % args.ckpt_every == 0 or n_steps >= args.max_steps:
+                save_checkpoint(str(Path(workdir) / "checkpoints"), state,
+                                step=n_steps)
+            if n_steps >= args.max_steps:
+                break
+    logger.close()
+    print(f"done: {n_steps} steps -> {workdir}")
+    return 0
+
+
 def cmd_extract_weights(args) -> int:
     """Lightning ckpt -> bare weights npz (reference
     scripts/extract_weights_from_checkpoint.py)."""
@@ -246,6 +354,17 @@ def main(argv=None) -> int:
     p.add_argument("--config-name", default="val")
     p.add_argument("overrides", nargs="*")
     p.set_defaults(fn=cmd_traj_val)
+
+    p = sub.add_parser("traj-train", help="self-supervised trajectory training")
+    p.add_argument("--config-dir", required=True)
+    p.add_argument("--config-name", default="val")
+    p.add_argument("--workdir", default=None)
+    p.add_argument("--max-steps", type=int, default=100000)
+    p.add_argument("--log-every", type=int, default=100)
+    p.add_argument("--ckpt-every", type=int, default=1000)
+    p.add_argument("--event-capacity", type=int, default=1 << 20)
+    p.add_argument("overrides", nargs="*")
+    p.set_defaults(fn=cmd_traj_train)
 
     p = sub.add_parser("extract-weights", help="ckpt -> bare weights npz")
     p.add_argument("ckpt")

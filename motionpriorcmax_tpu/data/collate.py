@@ -77,7 +77,8 @@ def collate_fixed_capacity(
         ev = [pad_events(s["events"], capacity) for s in samples]
     batch["events"] = np.stack(ev, axis=0)
 
-    for key in ("voxel", "forward_flow", "flow_valid", "timestamp", "file_index"):
+    for key in ("voxel", "forward_flow", "flow_valid", "timestamp",
+                "file_index", "ev_repr", "flow", "flow_timestamps", "id_mask"):
         if key in samples[0]:
             batch[key] = np.stack([np.asarray(s[key]) for s in samples], axis=0)
     if "name" in samples[0]:

@@ -5,6 +5,7 @@ reduction is one `psum` of the state (the torchmetrics dist_reduce_fx='sum'
 analog, src/modules/utils.py:339-340).
 """
 
+from .error_calculator import OpticalFlowError, make_error_calculator
 from .core import (
     epe_masked,
     ae_masked,
@@ -17,6 +18,8 @@ from .core import (
 )
 
 __all__ = [
+    "OpticalFlowError",
+    "make_error_calculator",
     "epe_masked",
     "ae_masked",
     "n_pixel_error_masked",

@@ -9,6 +9,8 @@ and `jit` with NamedSharding constraints; XLA inserts all collectives.
 """
 
 from .mesh import make_mesh, batch_sharding, replicate, shard_batch, make_sharded_train_step
+from .distributed import (initialize_distributed, process_batch_slice,
+                          host_local_batch_to_global)
 
 __all__ = [
     "make_mesh",
@@ -16,4 +18,7 @@ __all__ = [
     "replicate",
     "shard_batch",
     "make_sharded_train_step",
+    "initialize_distributed",
+    "process_batch_slice",
+    "host_local_batch_to_global",
 ]

@@ -1,0 +1,38 @@
+"""traj-train CLI smoke on synthetic EVIMO2 (tiny RAFT config, CPU)."""
+
+import numpy as np
+import pytest
+import yaml
+
+from tests.test_raft_training import make_synthetic_evimo2
+
+
+@pytest.mark.slow
+def test_traj_train_smoke(tmp_path):
+    from motionpriorcmax_tpu.cli.main import main
+
+    # Synthetic data in BOTH eval and train splits.
+    make_synthetic_evimo2(tmp_path / "data")
+    import shutil
+
+    shutil.copytree(tmp_path / "data/imo/eval/seq_a",
+                    tmp_path / "data/imo/train/seq_t")
+
+    rc = main([
+        "traj-train", "--config-dir", "config/trajectory_inference",
+        "--workdir", str(tmp_path / "run"),
+        "--max-steps", "1", "--log-every", "1", "--ckpt-every", "1",
+        "--event-capacity", "4096",
+        "experiment=raft-spline_evimo2-300ms_ours-selfsup",
+        "checkpoint=/unused",
+        f"dataset.path={tmp_path / 'data'}",
+        "training.batch_size=1",
+        "model.num_iter.train=1",
+        "model.bezier_degree=2",
+        "model.num_bins.context=41",
+    ])
+    assert rc == 0
+    assert (tmp_path / "run" / "scalars.jsonl").exists()
+    log = (tmp_path / "run" / "scalars.jsonl").read_text()
+    assert "train_losses/total" in log
+    assert any((tmp_path / "run" / "checkpoints").iterdir())
