@@ -34,7 +34,7 @@ import numpy as np
 
 from ..ops import events as ev_ops
 from ..ops import gradients as grad_ops
-from ..ops.knn import knn_blocked
+from ..ops.knn import knn_blocked, knn_grid_window
 
 EPS = 1e-9
 
@@ -61,8 +61,12 @@ class FocusLossConfig:
     # default, focus.py:90) or 'variance' (utils/loss.py:6-16; exercised by
     # BASELINE.json config 2).
     loss_type: str = "gradient_magnitude"
-    # TPU tiling knob (no reference analog): queries per KNN block.
+    # TPU tiling knobs (no reference analog): queries per KNN block, and the
+    # KNN reduction method ('exact' = sort-based top_k, bit-equivalent to the
+    # reference KeOps argKmin; 'approx' = lax.approx_min_k, the TPU-native
+    # partial reduction at ~0.95 recall and a fraction of the cost).
     knn_block_size: int = 1024
+    knn_method: str = "exact"
 
     # The trajectories handed to `focus_loss` must include pixel offsets
     # (reference TrajectoryLossBase.is_needing_offsets, focus.py:46).
@@ -129,10 +133,16 @@ def interpolate_flow(
     # KNN per (batch, bin): queries are the static grid, database the
     # trajectory positions at that bin's midtime (focus.py:129-137).
     flat_db = traj_at_tmid.reshape(b * n_bins, n, 2)
-    idx, dist = jax.vmap(
-        lambda db: knn_blocked(grid_points, db, k, norm=cfg.dist_norm,
-                               block_size=cfg.knn_block_size)
-    )(flat_db)
+    if cfg.knn_method.startswith("grid"):
+        sub_method = "approx" if cfg.knn_method.endswith("approx") else "exact"
+        knn_fn = lambda db: knn_grid_window(
+            grid_points, db, k, norm=cfg.dist_norm, cell_size=float(s),
+            grid_hw=(hq, wq), method=sub_method)
+    else:
+        knn_fn = lambda db: knn_blocked(
+            grid_points, db, k, norm=cfg.dist_norm,
+            block_size=cfg.knn_block_size, method=cfg.knn_method)
+    idx, dist = jax.vmap(knn_fn)(flat_db)
     idx = idx.reshape(b, n_bins, q, k)
     dist = dist.reshape(b, n_bins, q, k)
 
@@ -148,13 +158,20 @@ def interpolate_flow(
     flow_k = jax.vmap(jax.vmap(gather_one))(flow_to_tref, idx)
     # [B, n_bins, Q, K, n_tref, 2]
 
+    # Grid-hash KNN can return +inf distances for unavailable candidate
+    # slots; those are excluded from the interpolation (dense KNN never
+    # produces them, so this is a no-op there).
+    finite = jnp.isfinite(dist)
     if k == 1 or cfg.interpolation_scheme == "mean":
-        flow_q = jnp.mean(flow_k, axis=3)
+        fmask = finite[..., None, None].astype(flow_k.dtype)
+        denom = jnp.maximum(jnp.sum(fmask, axis=3), 1.0)
+        flow_q = jnp.sum(flow_k * fmask, axis=3) / denom
     elif cfg.interpolation_scheme == "iwd":
         # Inverse-distance weights are computed without gradient
         # (focus.py:158-163 runs under torch.no_grad()).
-        dw = jax.lax.stop_gradient(1.0 / (dist + EPS))
-        dw = dw / jnp.sum(dw, axis=3, keepdims=True)
+        dw = jax.lax.stop_gradient(
+            jnp.where(finite, 1.0 / (dist + EPS), 0.0))
+        dw = dw / jnp.maximum(jnp.sum(dw, axis=3, keepdims=True), EPS)
         flow_q = jnp.sum(dw[..., None, None] * flow_k, axis=3)
     else:
         raise ValueError(f"unknown interpolation_scheme {cfg.interpolation_scheme!r}")

@@ -18,7 +18,7 @@ through the train step).
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -28,33 +28,39 @@ class DoubleConv(nn.Module):
     out_channels: int
     mid_channels: int | None = None
     use_running_average: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         mid = self.mid_channels or self.out_channels
         for ch in (mid, self.out_channels):
-            x = nn.Conv(ch, (3, 3), padding=1, use_bias=False)(x)
+            x = nn.Conv(ch, (3, 3), padding=1, use_bias=False,
+                        dtype=self.dtype)(x)
+            # BN statistics stay f32 regardless of compute dtype.
             x = nn.BatchNorm(use_running_average=self.use_running_average,
-                             momentum=0.9, epsilon=1e-5)(x)
-            x = nn.relu(x)
+                             momentum=0.9, epsilon=1e-5, dtype=jnp.float32)(x)
+            x = nn.relu(x).astype(self.dtype)
         return x
 
 
 class Down(nn.Module):
     out_channels: int
     use_running_average: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         x = nn.max_pool(x, (2, 2), strides=(2, 2))
         return DoubleConv(self.out_channels,
-                          use_running_average=self.use_running_average)(x)
+                          use_running_average=self.use_running_average,
+                          dtype=self.dtype)(x)
 
 
 class Up(nn.Module):
     out_channels: int
     bilinear: bool = False
     use_running_average: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x1, x2):
@@ -65,16 +71,18 @@ class Up(nn.Module):
             x1 = jax.image.resize(x1, (b, h * 2, w * 2, c), method="bilinear")
             mid = x1.shape[-1] // 2
         else:
-            x1 = nn.ConvTranspose(x1.shape[-1] // 2, (2, 2), strides=(2, 2))(x1)
+            x1 = nn.ConvTranspose(x1.shape[-1] // 2, (2, 2), strides=(2, 2),
+                                  dtype=self.dtype)(x1)
             mid = None
         # Pad x1 to the skip connection's spatial size (unet_parts.py:59-63).
         dh = x2.shape[1] - x1.shape[1]
         dw = x2.shape[2] - x1.shape[2]
         x1 = jnp.pad(x1, ((0, 0), (dh // 2, dh - dh // 2),
                           (dw // 2, dw - dw // 2), (0, 0)))
-        x = jnp.concatenate([x2, x1], axis=-1)
+        x = jnp.concatenate([x2, x1.astype(x2.dtype)], axis=-1)
         return DoubleConv(self.out_channels, mid_channels=mid,
-                          use_running_average=self.use_running_average)(x)
+                          use_running_average=self.use_running_average,
+                          dtype=self.dtype)(x)
 
 
 class UNet(nn.Module):
@@ -84,24 +92,30 @@ class UNet(nn.Module):
     n_classes: int
     bilinear: bool = False
     widths: Sequence[int] = (64, 128, 256, 512, 1024)
+    # 'bfloat16' runs the convs on the MXU at 2x throughput; params and BN
+    # stats stay float32 (mixed precision).  Default float32 for reference
+    # parity (the reference runs TF32-ish 'high' matmul precision).
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         # NCHW -> NHWC
-        x = jnp.transpose(x, (0, 2, 3, 1))
+        x = jnp.transpose(x, (0, 2, 3, 1)).astype(self.dtype)
         ura = not train
         w = self.widths
+        dt = self.dtype
         factor = 2 if self.bilinear else 1
 
-        x1 = DoubleConv(w[0], use_running_average=ura)(x)
-        x2 = Down(w[1], use_running_average=ura)(x1)
-        x3 = Down(w[2], use_running_average=ura)(x2)
-        x4 = Down(w[3], use_running_average=ura)(x3)
-        x5 = Down(w[4] // factor, use_running_average=ura)(x4)
-        y = Up(w[3] // factor, self.bilinear, use_running_average=ura)(x5, x4)
-        y = Up(w[2] // factor, self.bilinear, use_running_average=ura)(y, x3)
-        y = Up(w[1] // factor, self.bilinear, use_running_average=ura)(y, x2)
-        y = Up(w[0], self.bilinear, use_running_average=ura)(y, x1)
-        logits = nn.Conv(self.n_classes, (1, 1))(y)
+        x1 = DoubleConv(w[0], use_running_average=ura, dtype=dt)(x)
+        x2 = Down(w[1], use_running_average=ura, dtype=dt)(x1)
+        x3 = Down(w[2], use_running_average=ura, dtype=dt)(x2)
+        x4 = Down(w[3], use_running_average=ura, dtype=dt)(x3)
+        x5 = Down(w[4] // factor, use_running_average=ura, dtype=dt)(x4)
+        y = Up(w[3] // factor, self.bilinear, use_running_average=ura, dtype=dt)(x5, x4)
+        y = Up(w[2] // factor, self.bilinear, use_running_average=ura, dtype=dt)(y, x3)
+        y = Up(w[1] // factor, self.bilinear, use_running_average=ura, dtype=dt)(y, x2)
+        y = Up(w[0], self.bilinear, use_running_average=ura, dtype=dt)(y, x1)
+        logits = nn.Conv(self.n_classes, (1, 1), dtype=jnp.float32)(
+            y.astype(jnp.float32))
         # NHWC -> NCHW
         return jnp.transpose(logits, (0, 3, 1, 2))

@@ -12,19 +12,21 @@ Design notes (TPU-first):
     (y, x, t, p, bin, valid) — y first, matching the reference convention
     (src/loader/dsec/loader.py:156-161).  Padding rows carry valid=0 and
     contribute zero weight; there is no ragged shape anywhere on device.
-  * Accumulation is a flattened scatter-add (`.at[idx].add(vals)`), which XLA
-    lowers to a deterministic TPU scatter — unlike the reference's CUDA
-    `scatter_add_`/`put_(accumulate=True)` which are non-deterministic
-    (SURVEY.md §5.2).
-  * Out-of-bounds votes are masked by zeroing the weight and clamping the
-    index into range (index 0), exactly reproducing the reference's
-    `inds * inds_mask` trick (event_image_converter.py:388).
+  * Accumulation is one flattened scatter-add per vote (ops/scatter.py):
+    'sorted' (sort + unique-index scatter, parallel on TPU) or 'direct'
+    (plain XLA scatter).  Both are deterministic — unlike the reference's
+    CUDA `scatter_add_`/`put_(accumulate=True)` (SURVEY.md §5.2).
+  * Out-of-bounds votes carry zero weight and index -1 (dropped), matching
+    the reference's `inds * inds_mask` masking semantics
+    (event_image_converter.py:388).
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+
+from .scatter import scatter_add_1d, scatter_add_direct
 
 # Column layout of an event row.  (y, x) may be fractional after rectification
 # or warping; `bin` is the voxel-channel index used for flow-LUT lookup;
@@ -33,11 +35,17 @@ EVENT_COLS = ("y", "x", "t", "p", "bin", "valid")
 Y, X, T, P, BIN, VALID = range(6)
 
 
-def _scatter_add_flat(shape_flat: int, idx: jnp.ndarray, vals: jnp.ndarray,
-                      dtype=jnp.float32) -> jnp.ndarray:
-    """Accumulate `vals` at flat indices `idx` into a zeroed [shape_flat] array."""
-    out = jnp.zeros((shape_flat,), dtype=dtype)
-    return out.at[idx].add(vals, mode="drop")
+def _scatter_accumulate(shape_flat: int, idx: jnp.ndarray, vals: jnp.ndarray,
+                        impl: str) -> jnp.ndarray:
+    """One-call accumulation of all votes.
+
+    impl='sorted' uses the sort + unique-scatter path (ops/scatter.py) —
+    parallel on TPU; 'direct' is the plain XLA scatter (serialized on TPU but
+    cheaper on CPU/small inputs).  Both are deterministic.
+    """
+    if impl == "sorted":
+        return scatter_add_1d(shape_flat, idx, vals)
+    return scatter_add_direct(shape_flat, idx, vals)
 
 
 def voxel_grid_from_events(
@@ -50,6 +58,7 @@ def voxel_grid_from_events(
     num_bins: int,
     height: int,
     width: int,
+    scatter_impl: str = "sorted",
 ) -> jnp.ndarray:
     """Trilinear (x, y, t) vote of events into a [num_bins, H, W] voxel grid.
 
@@ -77,8 +86,7 @@ def voxel_grid_from_events(
     t0 = jnp.floor(t_norm)
 
     flat = num_bins * height * width
-    acc = jnp.zeros((flat,), dtype=jnp.float32)
-
+    all_idx, all_w = [], []
     for dx in (0.0, 1.0):
         xi = x0 + dx
         wx = 1.0 - jnp.abs(xi - x)
@@ -95,9 +103,11 @@ def voxel_grid_from_events(
                 w = value * wx * wy * wt * mask.astype(jnp.float32)
                 idx = (ti.astype(jnp.int32) * height + yi.astype(jnp.int32)) * width \
                     + xi.astype(jnp.int32)
-                idx = jnp.where(mask, idx, 0)
-                acc = acc.at[idx].add(w, mode="drop")
+                all_idx.append(jnp.where(mask, idx, -1))
+                all_w.append(w)
 
+    acc = _scatter_accumulate(flat, jnp.concatenate(all_idx),
+                              jnp.concatenate(all_w), scatter_impl)
     return acc.reshape(num_bins, height, width)
 
 
@@ -143,6 +153,7 @@ def iwe_bilinear_vote(
     *,
     height: int,
     width: int,
+    scatter_impl: str = "sorted",
 ) -> jnp.ndarray:
     """Bilinear vote of (possibly fractional) event coords into a [H, W] image.
 
@@ -166,7 +177,6 @@ def iwe_bilinear_vote(
     x1 = floor_yx[..., 1].astype(jnp.int32)
 
     flat = height * width
-    acc = jnp.zeros((flat,), dtype=jnp.float32)
     # (dy, dx, weight) for the 4 corners; weight order matches reference
     # w_pos0..w_pos3 (event_image_converter.py:382-385).
     corners = (
@@ -175,13 +185,15 @@ def iwe_bilinear_vote(
         (0, 1, (1.0 - fy) * fx),
         (1, 1, fy * fx),
     )
+    all_idx, all_w = [], []
     for dy, dx, wgt in corners:
         yi = y1 + dy
         xi = x1 + dx
         mask = (yi >= 0) & (yi < height) & (xi >= 0) & (xi < width)
-        w = wgt * weight * mask.astype(jnp.float32)
-        idx = jnp.where(mask, yi * width + xi, 0)
-        acc = acc.at[idx].add(w, mode="drop")
+        all_w.append(wgt * weight * mask.astype(jnp.float32))
+        all_idx.append(jnp.where(mask, yi * width + xi, -1))
+    acc = _scatter_accumulate(flat, jnp.concatenate(all_idx),
+                              jnp.concatenate(all_w), scatter_impl)
     return acc.reshape(height, width)
 
 
@@ -219,12 +231,14 @@ def gaussian_blur_3x3(images: jnp.ndarray, sigma: float = 1.0) -> jnp.ndarray:
 
 
 def iwe_bilinear_vote_batch(coords_yx: jnp.ndarray, weight: jnp.ndarray, *,
-                            height: int, width: int) -> jnp.ndarray:
+                            height: int, width: int,
+                            scatter_impl: str = "sorted") -> jnp.ndarray:
     """Batched bilinear vote: [B, M, 2], [B, M] -> [B, H, W].
 
     vmap keeps the scatter per-image, which shards cleanly over the data axis
     of the mesh.
     """
     return jax.vmap(
-        lambda c, w: iwe_bilinear_vote(c, w, height=height, width=width)
+        lambda c, w: iwe_bilinear_vote(c, w, height=height, width=width,
+                                       scatter_impl=scatter_impl)
     )(coords_yx, weight)
