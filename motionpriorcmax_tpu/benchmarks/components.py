@@ -35,14 +35,33 @@ def main():
     knn = jax.jit(jax.vmap(lambda d: knn_blocked(queries, d, k,
                                                  block_size=1200)))
     dt, _ = device_timer(knn, db, iters=5)
-    results["knn_b2x15_19200x19200_k32_ms"] = round(dt * 1e3, 2)
+    results["knn_exact_b2x15_19200x19200_k32_ms"] = round(dt * 1e3, 2)
 
-    # --- IWE bilinear scatter (forward) ----------------------------------
+    knn_a = jax.jit(jax.vmap(lambda d: knn_blocked(queries, d, k,
+                                                   block_size=4800,
+                                                   method="approx")))
+    dt, _ = device_timer(knn_a, db, iters=5)
+    results["knn_approx_ms"] = round(dt * 1e3, 2)
+
+    from ..ops.knn import knn_grid_window
+
+    knn_g = jax.jit(jax.vmap(lambda d: knn_grid_window(
+        queries, d, k, cell_size=4.0, grid_hw=(h // 4, w // 4),
+        window_radius=6, cell_capacity=6)))
+    try:
+        dt, _ = device_timer(knn_g, db, iters=5)
+        results["knn_grid_ms"] = round(dt * 1e3, 2)
+    except Exception:
+        results["knn_grid_ms"] = -1
+
+    # --- IWE bilinear scatter (forward), both scatter impls ---------------
     coords = jnp.asarray(rng.uniform(0, h - 1, (b, m, 2)).astype(np.float32))
     wgt = jnp.ones((b, m), jnp.float32)
-    iwe = jax.jit(functools.partial(iwe_bilinear_vote_batch, height=h, width=w))
-    dt, _ = device_timer(iwe, coords, wgt, iters=5)
-    results["iwe_scatter_events_per_s"] = round(b * m / dt, 0)
+    for impl in ("direct", "sorted"):
+        iwe = jax.jit(functools.partial(iwe_bilinear_vote_batch, height=h,
+                                        width=w, scatter_impl=impl))
+        dt, _ = device_timer(iwe, coords, wgt, iters=5)
+        results[f"iwe_scatter_{impl}_events_per_s"] = round(b * m / dt, 0)
 
     # --- IWE forward+backward --------------------------------------------
     def iwe_loss(c, wg):

@@ -62,11 +62,20 @@ class FocusLossConfig:
     # BASELINE.json config 2).
     loss_type: str = "gradient_magnitude"
     # TPU tiling knobs (no reference analog): queries per KNN block, and the
-    # KNN reduction method ('exact' = sort-based top_k, bit-equivalent to the
-    # reference KeOps argKmin; 'approx' = lax.approx_min_k, the TPU-native
-    # partial reduction at ~0.95 recall and a fraction of the cost).
+    # KNN reduction method:
+    #   'exact'   sort-based top_k — bit-equivalent to KeOps argKmin
+    #   'approx'  lax.approx_min_k — TPU-native partial reduction (~9x faster)
+    #   'grid'/'grid_approx'  spatial-hash window (gather-bound; slow on TPU)
+    #   'softmax' dense kernel-weighted interpolation: NO top-k and NO
+    #     gathers — softmax(-dist/temp) row-weights times the flow values,
+    #     computed blockwise as pure MXU/VPU matmuls.  This is the TPU-native
+    #     redesign of the interpolation (random-access gather/scatter runs at
+    #     ~20-60 M elem/s on TPU; dense math runs at TFLOP rates).  With
+    #     temperature ~ the NN distance scale it closely approximates the
+    #     reference's 32-NN mean (it is an exponential-kernel IWD).
     knn_block_size: int = 1024
     knn_method: str = "exact"
+    softmax_temp: float = 25.0
 
     # The trajectories handed to `focus_loss` must include pixel offsets
     # (reference TrajectoryLossBase.is_needing_offsets, focus.py:46).
@@ -130,6 +139,10 @@ def interpolate_flow(
     n_tref = traj_at_tref.shape[1]
     k = cfg.num_knn
 
+    if cfg.knn_method == "softmax":
+        return _softmax_interpolate_flow(cfg, grid_points, traj_at_tref,
+                                         traj_at_tmid, hq, wq)
+
     # KNN per (batch, bin): queries are the static grid, database the
     # trajectory positions at that bin's midtime (focus.py:129-137).
     flat_db = traj_at_tmid.reshape(b * n_bins, n, 2)
@@ -187,6 +200,81 @@ def interpolate_flow(
         fn_k = jax.vmap(jax.vmap(gather_one))(fn, idx[:, :-1])
         flow_to_next = jnp.mean(fn_k, axis=3).reshape(b, n_bins - 1, hq, wq, 1, 2)
 
+    return flow_lut, flow_to_next
+
+
+def _softmax_interpolate_flow(cfg: FocusLossConfig, grid_points: jnp.ndarray,
+                              traj_at_tref: jnp.ndarray,
+                              traj_at_tmid: jnp.ndarray,
+                              hq: int, wq: int):
+    """Dense exponential-kernel interpolation — the TPU-native fast path.
+
+    out[q] = sum_n softmax_n(-dist(q, n) / temp) * value[n]
+
+    No top-k, no gathers: per query block this is a distance broadcast, a
+    row softmax, and one [Bq, N] @ [N, C] matmul (MXU).  Weights are
+    stop-gradient (matching the reference's no-grad interpolation weights,
+    focus.py:158-163); gradients flow through the value matmul.
+
+    Approximates the reference's K-NN mean as an exponential-kernel IWD:
+    with temp ~ the squared NN-distance scale the effective support is the
+    same few dozen nearest trajectories.
+    """
+    b, n_bins, n, _ = traj_at_tmid.shape
+    n_tref = traj_at_tref.shape[1]
+    q = hq * wq
+    temp = cfg.softmax_temp
+
+    # Values: flow to each t_ref (+ flow to next bin when needed).
+    traj_ref_t = jnp.transpose(traj_at_tref, (0, 2, 1, 3))  # [B, N, R, 2]
+    flow_to_tref = traj_ref_t[:, None] - traj_at_tmid[:, :, :, None, :]
+    values = flow_to_tref.reshape(b, n_bins, n, n_tref * 2)
+    want_next = cfg.smooth_weight > 0 and cfg.smooth_type == "on_flow_to_next"
+    if want_next:
+        diff_next = traj_at_tmid[:, 1:] - traj_at_tmid[:, :-1]
+        # Pad the last bin with zeros so shapes stay uniform; discarded below.
+        diff_next = jnp.concatenate(
+            [diff_next, jnp.zeros_like(diff_next[:, :1])], axis=1)
+        values = jnp.concatenate([values, diff_next], axis=-1)
+    c = values.shape[-1]
+
+    db = traj_at_tmid.reshape(b * n_bins, n, 2)
+    vals = values.reshape(b * n_bins, n, c)
+
+    block = max(min(cfg.knn_block_size, q), 1)
+    num_blocks = -(-q // block)
+    q_pad = num_blocks * block
+    gp = grid_points
+    if q_pad != q:
+        gp = jnp.pad(gp, ((0, q_pad - q), (0, 0)))
+    gp_blocks = gp.reshape(num_blocks, block, 2)
+
+    def per_bin(db_i, vals_i):
+        db_sq = jnp.sum(db_i * db_i, axis=-1)  # [N]
+
+        # checkpoint: recompute the [block, N] weights in the backward pass
+        # instead of saving them per scan step (they are O(GB) per step).
+        @jax.checkpoint
+        def one_block(qb):
+            if cfg.dist_norm == "l2":
+                qq = jnp.sum(qb * qb, axis=-1, keepdims=True)
+                dist = qq - 2.0 * (qb @ db_i.T) + db_sq[None, :]
+            else:
+                dist = jnp.sum(jnp.abs(qb[:, None, :] - db_i[None, :, :]),
+                               axis=-1)
+            dist = jax.lax.stop_gradient(dist)
+            a = jnp.exp(-(dist - jnp.min(dist, axis=1, keepdims=True)) / temp)
+            wrow = a / jnp.sum(a, axis=1, keepdims=True)
+            return wrow @ vals_i  # [block, C] — MXU
+
+        return jax.lax.map(one_block, gp_blocks).reshape(q_pad, c)[:q]
+
+    out = jax.vmap(per_bin)(db, vals).reshape(b, n_bins, hq, wq, c)
+    flow_lut = out[..., :n_tref * 2].reshape(b, n_bins, hq, wq, n_tref, 2)
+    flow_to_next = None
+    if want_next:
+        flow_to_next = out[:, :-1, :, :, n_tref * 2:].reshape(
+            b, n_bins - 1, hq, wq, 1, 2)
     return flow_lut, flow_to_next
 
 

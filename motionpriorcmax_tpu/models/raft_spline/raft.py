@@ -169,23 +169,44 @@ class RAFTSpline(nn.Module):
             params = params + flow_init
 
         ts = jnp.asarray(lookup_ts, jnp.float32)
-        basis_apply = self._basis_apply()
+        # The basis matrix is iteration-independent — evaluate it once
+        # outside the loop (also keeps the learned-basis MLP call out of the
+        # scanned body).
+        from .curves import curve_basis_matrix
 
-        up_predictions = []
-        params_up = None
-        for itr in range(iters):
+        basis_mat = curve_basis_matrix(ts, cfg.bezier_degree, cfg.curve_type,
+                                       self._basis_apply())  # [T, P]
+
+        def body(mdl, carry, _):
+            net_c, params_c = carry
             if cfg.detach_bezier:
-                params = jax.lax.stop_gradient(params)
-            flows = curve_flow_from_reference(params, ts, cfg.curve_type,
-                                              basis_apply)  # [T, B, 2, h, w]
+                params_c = jax.lax.stop_gradient(params_c)
+            bsz, ch = params_c.shape[:2]
+            pv = params_c.reshape(bsz, 2, cfg.bezier_degree,
+                                  *params_c.shape[2:])
+            flows = jnp.einsum("bdphw,tp->tbdhw", pv, basis_mat)
             coords1 = coords0[None] + flows
             corr_total = lookup_corr_pyramid(pyramid, coords1, cfg.radius)
-            net, up_mask, delta = self.update_block(net, inp, corr_total, params)
-            params = params + delta
-            if not test_mode or itr == iters - 1:
-                params_up = cvx_upsample(params, up_mask)
-                up_predictions.append(params_up)
+            net_c, up_mask, delta = mdl.update_block(net_c, inp, corr_total,
+                                                     params_c)
+            params_c = params_c + delta
+            return (net_c, params_c), (params_c, up_mask)
+
+        # lax.scan shares one compiled iteration body across the 12 steps
+        # (the unrolled loop compiles ~iters x slower); nn.scan threads the
+        # shared update-block parameters through the loop.
+        scan = nn.scan(
+            body,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            length=iters,
+        )
+        (net, params), (params_seq, mask_seq) = scan(self, (net, params), None)
 
         if test_mode:
+            params_up = cvx_upsample(params_seq[-1], mask_seq[-1])
             return params, params_up
-        return up_predictions
+        # Train mode: one convex-upsampled prediction per iteration
+        # (raft.py:187-189), vmapped over the iteration axis.
+        ups = jax.vmap(cvx_upsample)(params_seq, mask_seq)
+        return [ups[i] for i in range(iters)]

@@ -39,9 +39,10 @@ def _scatter_accumulate(shape_flat: int, idx: jnp.ndarray, vals: jnp.ndarray,
                         impl: str) -> jnp.ndarray:
     """One-call accumulation of all votes.
 
-    impl='sorted' uses the sort + unique-scatter path (ops/scatter.py) —
-    parallel on TPU; 'direct' is the plain XLA scatter (serialized on TPU but
-    cheaper on CPU/small inputs).  Both are deterministic.
+    impl='direct' is the plain XLA scatter — measured FASTER than the
+    sort-based path on v5e (53 ms vs 123 ms per 2x512k-event IWE: XLA's sort
+    costs more than its scatter here).  'sorted' remains available; both are
+    deterministic.
     """
     if impl == "sorted":
         return scatter_add_1d(shape_flat, idx, vals)
@@ -58,7 +59,7 @@ def voxel_grid_from_events(
     num_bins: int,
     height: int,
     width: int,
-    scatter_impl: str = "sorted",
+    scatter_impl: str = "direct",
 ) -> jnp.ndarray:
     """Trilinear (x, y, t) vote of events into a [num_bins, H, W] voxel grid.
 
@@ -153,7 +154,7 @@ def iwe_bilinear_vote(
     *,
     height: int,
     width: int,
-    scatter_impl: str = "sorted",
+    scatter_impl: str = "direct",
 ) -> jnp.ndarray:
     """Bilinear vote of (possibly fractional) event coords into a [H, W] image.
 
@@ -232,7 +233,7 @@ def gaussian_blur_3x3(images: jnp.ndarray, sigma: float = 1.0) -> jnp.ndarray:
 
 def iwe_bilinear_vote_batch(coords_yx: jnp.ndarray, weight: jnp.ndarray, *,
                             height: int, width: int,
-                            scatter_impl: str = "sorted") -> jnp.ndarray:
+                            scatter_impl: str = "direct") -> jnp.ndarray:
     """Batched bilinear vote: [B, M, 2], [B, M] -> [B, H, W].
 
     vmap keeps the scatter per-image, which shards cleanly over the data axis

@@ -1,0 +1,65 @@
+"""Softmax (dense-kernel) interpolation vs exact KNN-mean reference path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import dataclasses
+
+from motionpriorcmax_tpu.losses import FocusLossConfig, focus_loss
+from tests.test_focus_loss import (H, W, NBINS, make_cfg,
+                                   make_translating_events,
+                                   trajectories_for_flow)
+
+
+def test_softmax_close_to_exact_on_smooth_field(rng):
+    cfg_exact = make_cfg()
+    cfg_soft = dataclasses.replace(cfg_exact, knn_method="softmax",
+                                   softmax_temp=16.0)
+    flow = (4.0, 6.0)
+    events = jnp.asarray(make_translating_events(rng, flow))
+    times = jnp.concatenate([jnp.asarray([0.5]),
+                             jnp.asarray((np.arange(NBINS) + 0.5) / NBINS)])
+    traj = trajectories_for_flow(np.asarray(times), flow)
+
+    le, _, me = focus_loss(cfg_exact, traj, times, events)
+    ls, _, ms = focus_loss(cfg_soft, traj, times, events)
+    # A constant flow field interpolates identically under any weighting.
+    np.testing.assert_allclose(float(ls), float(le), rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(ms["iwes"]), np.asarray(me["iwes"]),
+                               atol=1e-3)
+
+
+def test_softmax_gradients_flow(rng):
+    cfg = make_cfg(knn_method="softmax", smooth_weight=0.01)
+    events = jnp.asarray(make_translating_events(rng))
+    times = jnp.concatenate([jnp.asarray([0.3]),
+                             jnp.asarray((np.arange(NBINS) + 0.5) / NBINS)])
+    traj = trajectories_for_flow(np.asarray(times), (2.0, 3.0))
+    g = jax.grad(lambda t: focus_loss(cfg, t, times, events)[0])(traj)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.max(jnp.abs(g))) > 0
+
+
+def test_softmax_on_flow_to_next(rng):
+    cfg = make_cfg(knn_method="softmax", smooth_weight=0.06,
+                   smooth_type="on_flow_to_next")
+    events = jnp.asarray(make_translating_events(rng))
+    times = jnp.concatenate([jnp.asarray([0.5]),
+                             jnp.asarray((np.arange(NBINS) + 0.5) / NBINS)])
+    traj = trajectories_for_flow(np.asarray(times), (1.0, 2.0))
+    loss, logs, _ = focus_loss(cfg, traj, times, events)
+    assert np.isfinite(float(loss))
+    assert "smoothness_loss" in logs
+
+
+def test_softmax_true_flow_sharper(rng):
+    cfg = make_cfg(knn_method="softmax")
+    flow = (5.0, 7.0)
+    events = jnp.asarray(make_translating_events(rng, flow))
+    times = jnp.concatenate([jnp.asarray([0.5]),
+                             jnp.asarray((np.arange(NBINS) + 0.5) / NBINS)])
+    lt, _, _ = focus_loss(cfg, trajectories_for_flow(np.asarray(times), flow),
+                          times, events)
+    lz, _, _ = focus_loss(cfg, trajectories_for_flow(np.asarray(times), (0, 0)),
+                          times, events)
+    assert float(lt) < float(lz)
