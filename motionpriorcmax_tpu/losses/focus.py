@@ -254,6 +254,9 @@ def _softmax_interpolate_flow(cfg: FocusLossConfig, grid_points: jnp.ndarray,
 
         # checkpoint: recompute the [block, N] weights in the backward pass
         # instead of saving them per scan step (they are O(GB) per step).
+        # The weight pipeline runs in bf16 (2x VPU/MXU throughput): weights
+        # are stop-gradient interpolation coefficients, so ~1e-2 relative
+        # error is benign; the value matmul accumulates in f32.
         @jax.checkpoint
         def one_block(qb):
             if cfg.dist_norm == "l2":
@@ -263,9 +266,15 @@ def _softmax_interpolate_flow(cfg: FocusLossConfig, grid_points: jnp.ndarray,
                 dist = jnp.sum(jnp.abs(qb[:, None, :] - db_i[None, :, :]),
                                axis=-1)
             dist = jax.lax.stop_gradient(dist)
-            a = jnp.exp(-(dist - jnp.min(dist, axis=1, keepdims=True)) / temp)
-            wrow = a / jnp.sum(a, axis=1, keepdims=True)
-            return wrow @ vals_i  # [block, C] — MXU
+            z = -(dist - jnp.min(dist, axis=1, keepdims=True)) / temp
+            # Only the exp runs in bf16 (the dominant elementwise cost; 2x
+            # VPU throughput).  Values stay f32 and normalization happens
+            # AFTER the value matmul, so a constant field interpolates
+            # exactly and bf16 weight error only perturbs the weighting.
+            a = jnp.exp(z.astype(jnp.bfloat16)).astype(jnp.float32)
+            num = jnp.dot(a, vals_i, preferred_element_type=jnp.float32)
+            den = jnp.sum(a, axis=1, keepdims=True)
+            return num / den
 
         return jax.lax.map(one_block, gp_blocks).reshape(q_pad, c)[:q]
 

@@ -60,6 +60,68 @@ class ScalarLogger:
             self._tb.close()
 
 
+def make_flow_render_fn(state, cfg: TrajectoryNetConfig,
+                        loss_cfg: FocusLossConfig, rng_seed: int = 0):
+    """Render the C23 image panel for one collated batch.
+
+    Produces: unwarped event IWE, predicted IWE (t_ref=0 reconstruction),
+    predicted flow, GT flow, and the GT-flow-warped IWE sanity image
+    (reference src/utils/logging.py:53-120).
+    """
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from ..losses import focus_loss
+    from ..ops.events import iwe_bilinear_vote_batch, gaussian_blur_3x3
+    from ..ops.grids import tile_mask_positions
+    from .trajectory_net import _step, predict_flow
+
+    def render(batch):
+        out = {}
+        events = jnp.asarray(batch["events"])
+        h, w = loss_cfg.image_shape
+        # Unwarped event image (logging.py:76-86).
+        unwarped = gaussian_blur_3x3(iwe_bilinear_vote_batch(
+            events[..., :2], events[..., 5], height=h, width=w))
+        out["unwarped_iwe"] = np.asarray(unwarped[0])
+
+        rng = jax.random.PRNGKey(rng_seed)
+        dev_batch = {k: jnp.asarray(v) for k, v in batch.items()
+                     if not isinstance(v, (list, str))}
+        num_pos = batch.get("num_pos_events", -1)
+        _, (_, misc, _, basis_fn) = _step(cfg, loss_cfg, state.params,
+                                          state.batch_stats, dev_batch, rng,
+                                          train=False, num_pos_events=num_pos)
+        iwes = np.asarray(misc["iwes"])  # [B, n_tref, (2,) H, W]
+        out["pred_iwe"] = iwes[0, 0, 0] if iwes.ndim == 5 else iwes[0, 0]
+        flow = predict_flow(state, dev_batch["voxel"], cfg)
+        out["pred_flow"] = np.asarray(flow[0])
+
+        if "forward_flow" in batch:
+            gt_flow = np.asarray(batch["forward_flow"][0])
+            out["gt_flow"] = gt_flow
+            # GT IWE sanity: treat the GT flow as a degree-1 polynomial
+            # coefficient grid and run the loss pipeline on it
+            # (logging.py:101-120; polynomial k=1 only).
+            if cfg.basis_type == "polynomial" and cfg.num_basis == 1:
+                from ..losses import get_reconstruction_times
+                from .trajectory_net import calculate_trajectories
+
+                coeff = jnp.asarray(batch["forward_flow"])
+                times = get_reconstruction_times(loss_cfg, rng)
+                times = times.at[0].set(0.0)
+                traj = calculate_trajectories(cfg, coeff, times, True, basis_fn)
+                _, _, misc_gt = focus_loss(loss_cfg, traj, times, events,
+                                           num_pos_events=num_pos)
+                gt_iwes = np.asarray(misc_gt["iwes"])
+                out["gt_iwe"] = (gt_iwes[0, 0, 0] if gt_iwes.ndim == 5
+                                 else gt_iwes[0, 0])
+        return out
+
+    return render
+
+
 def train_flow(
     cfg: TrajectoryNetConfig,
     loss_cfg: FocusLossConfig,
@@ -74,6 +136,8 @@ def train_flow(
     log_every: int = 200,
     monitor: str = "val_losses/EPE",
     resume_state=None,
+    image_log_dataset=None,
+    image_log_collate=None,
 ) -> Dict[str, float]:
     """Self-supervised DSEC flow training (reference §3.1 call stack)."""
     if mesh is None:
@@ -105,6 +169,15 @@ def train_flow(
                 scalars["steps_per_s"] = log_every / dt
                 t_last = time.perf_counter()
                 logger.log(step, scalars)
+
+        if image_log_dataset is not None and image_log_collate is not None:
+            from ..utils.image_logging import ImagePanelLogger, \
+                log_flow_epoch_images
+
+            panel = ImagePanelLogger(workdir, tb_writer=logger._tb)
+            render = make_flow_render_fn(state, cfg, loss_cfg)
+            log_flow_epoch_images(panel, image_log_dataset, image_log_collate,
+                                  render, step, "val/")
 
         if val_loader is not None:
             bank = MetricBank()
