@@ -169,10 +169,27 @@ def cmd_traj_val(args) -> int:
         iters=mc["num_iter"]["test"])
 
     ds = cfg_tree["dataset"]
-    provider = Evimo2Provider(ds["path"], nbins_context=cfg.nbins_context,
-                              flow_time_ms=ds["flow_time"],
-                              normalize_voxel_grid=ds["normalize_voxel_grid"],
-                              flow_every_n_ms=ds["flow_every_n_ms"])
+    dataset_name = ds.get("name", "evimo2")
+    if dataset_name == "evimo2":
+        provider = Evimo2Provider(
+            ds["path"], nbins_context=cfg.nbins_context,
+            flow_time_ms=ds["flow_time"],
+            normalize_voxel_grid=ds["normalize_voxel_grid"],
+            flow_every_n_ms=ds["flow_every_n_ms"])
+        num_steps = int(ds["flow_time"] // ds["flow_every_n_ms"])
+    elif dataset_name == "multiflow":
+        from ..data.multiflow import MultiflowDatasubset
+
+        provider = MultiflowDatasubset(
+            Path(ds["path"]) / "test", num_bins_context=cfg.nbins_context,
+            flow_every_n_ms=ds["flow_every_n_ms"],
+            load_voxel_grid=ds.get("load_voxel_grid", True),
+            extended_voxel_grid=ds.get("extended_voxel_grid", True),
+            normalize_voxel_grid=ds.get("normalize_voxel_grid", True),
+            prediction_time_ms=ds.get("prediction_time", 500))
+        num_steps = len(provider[0]["flow_timestamps"])
+    else:
+        raise SystemExit(f"unknown dataset {dataset_name!r}")
 
     state = create_raft_state(cfg, RAFTTrainConfig(use_scheduler=False),
                               jax.random.PRNGKey(0))
@@ -182,21 +199,30 @@ def cmd_traj_val(args) -> int:
 
         state, _ = restore_checkpoint(str(ckpt), state)
 
-    num_steps = int(ds["flow_time"] // ds["flow_every_n_ms"])
-    ts = tuple(np.linspace(0, 1, num_steps + 1)[1:].tolist())
+    if dataset_name == "evimo2":
+        ts = tuple(np.linspace(0, 1, num_steps + 1)[1:].tolist())
+    else:
+        ts = tuple(float(t) for t in provider[0]["flow_timestamps"])
     step = jax.jit(functools.partial(raft_validation_step, cfg=cfg,
                                      flow_timestamps=ts))
 
     bank = MetricBank()
     bsz = cfg_tree.get("batch_size", 8)
     n = len(provider)
+    bsz = min(bsz, n)
     for i0 in range(0, n - n % bsz, bsz):
         samples = [provider[i] for i in range(i0, i0 + bsz)]
         batch = {
             "ev_repr": jnp.asarray(np.stack([s["ev_repr"] for s in samples])),
             "flow": jnp.asarray(np.stack([s["flow"] for s in samples])),
-            "flow_valid": jnp.asarray(np.stack([s["flow_valid"] for s in samples])),
         }
+        if "flow_valid" in samples[0]:
+            batch["flow_valid"] = jnp.asarray(
+                np.stack([s["flow_valid"] for s in samples]))
+        if cfg.use_boundary_images and "img" in samples[0]:
+            batch["img"] = [
+                jnp.asarray(np.stack([s["img"][j] for s in samples]))
+                for j in range(2)]
         logs = step(state, batch)
         vals = {k: float(v) for k, v in logs.items() if not k.endswith("__weight")}
         wgts = {k: float(logs.get(f"{k}__weight", 1.0)) for k in vals}

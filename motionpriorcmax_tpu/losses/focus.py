@@ -250,8 +250,6 @@ def _softmax_interpolate_flow(cfg: FocusLossConfig, grid_points: jnp.ndarray,
     gp_blocks = gp.reshape(num_blocks, block, 2)
 
     def per_bin(db_i, vals_i):
-        db_sq = jnp.sum(db_i * db_i, axis=-1)  # [N]
-
         # checkpoint: recompute the [block, N] weights in the backward pass
         # instead of saving them per scan step (they are O(GB) per step).
         # The weight pipeline runs in bf16 (2x VPU/MXU throughput): weights
@@ -259,12 +257,14 @@ def _softmax_interpolate_flow(cfg: FocusLossConfig, grid_points: jnp.ndarray,
         # error is benign; the value matmul accumulates in f32.
         @jax.checkpoint
         def one_block(qb):
+            # Broadcast distance on the VPU: a [Bq, N] x dim-2 contraction
+            # would pad the MXU contraction dim 2 -> 128 (64x wasted MACs).
+            dy = qb[:, None, 0] - db_i[None, :, 0]
+            dx = qb[:, None, 1] - db_i[None, :, 1]
             if cfg.dist_norm == "l2":
-                qq = jnp.sum(qb * qb, axis=-1, keepdims=True)
-                dist = qq - 2.0 * (qb @ db_i.T) + db_sq[None, :]
+                dist = dy * dy + dx * dx
             else:
-                dist = jnp.sum(jnp.abs(qb[:, None, :] - db_i[None, :, :]),
-                               axis=-1)
+                dist = jnp.abs(dy) + jnp.abs(dx)
             dist = jax.lax.stop_gradient(dist)
             z = -(dist - jnp.min(dist, axis=1, keepdims=True)) / temp
             # Only the exp runs in bf16 (the dominant elementwise cost; 2x

@@ -70,10 +70,13 @@ def create_raft_state(cfg: RAFTSplineConfig, tc: RAFTTrainConfig,
     model = RAFTSpline(cfg)
     h, w = image_hw
     dummy = jnp.zeros((1, cfg.nbins_total, h, w), jnp.float32)
+    dummy_imgs = ([jnp.zeros((1, 3, h, w), jnp.float32)] * 2
+                  if cfg.use_boundary_images else None)
     # jit the init: eager init dispatches every op individually, which is
     # minutes of round-trips on a tunneled TPU (~240 s at EVIMO2 scale).
-    init = jax.jit(lambda r, v: RAFTSpline(cfg).init(r, v, test_mode=True))
-    variables = init(rng, dummy)
+    init = jax.jit(lambda r, v, im: RAFTSpline(cfg).init(r, v, im,
+                                                         test_mode=True))
+    variables = init(rng, dummy, dummy_imgs)
     return RAFTTrainState.create(
         apply_fn=model.apply,
         params=variables["params"],
