@@ -1,0 +1,203 @@
+"""Fused Pallas kernel for the dense softmax flow interpolation.
+
+Computes, per (batch-bin g, query block i):
+
+    num[q, :] = sum_n exp(-dist(q, n) / temp) * vals[n, :]
+    den[q]    = sum_n exp(-dist(q, n) / temp)
+    out       = num / den
+
+in ONE pass over the database tiles: the [Bq, Nt] distance/exp tile lives
+only in VMEM and feeds the MXU accumulation directly — the XLA version
+materializes the full [Bq, N] weight matrix between the exp and the matmul.
+No max-subtraction is needed: dist >= 0 so exp <= 1, and underflow to zero
+for far points is exactly the desired truncation (the nearest trajectory is
+always within a few pixels, so rows never vanish).
+
+Layout notes (Mosaic tiling wants 128-multiple lane dims):
+  * coordinates travel transposed: queries [2, Q], db [G, 2, N] — the lane
+    dim is the big point axis
+  * values travel as [G, C+1, N] with an appended ones-row, so the
+    denominator falls out of the same matmul as the numerator
+  * the kernel computes out^T [C+1, BQ] = vals_tile [C+1, BN] @ w^T [BN, BQ]
+
+The backward pass (d vals = w^T (g / den); the weights are stop-gradient by
+design, matching the reference's no-grad interpolation weights,
+focus.py:158-163) recomputes the weights with transposed accumulation.
+
+Public API keeps natural shapes: queries [Q, 2], db [G, N, 2],
+vals [G, N, C] -> out [G, Q, C]; the wrapper transposes and pads.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Queries per program x database tile per inner step.  The [BQ, BN] f32
+# temporaries (dy, dx, w) must fit VMEM several times over.
+BQ = 512
+BN = 1024
+
+
+def _fwd_kernel(temp_ref, q_ref, db_ref, vals_ref, out_ref):
+    """q_ref [2, BQ]; db_ref [1, 2, N]; vals_ref [1, C1, N]; out [1, C1, BQ]."""
+    temp = temp_ref[0, 0]
+    c1 = vals_ref.shape[1]
+    n = db_ref.shape[2]
+    qy = q_ref[0:1, :]                      # [1, BQ]
+    qx = q_ref[1:2, :]
+
+    def body(t, acc):
+        dby = db_ref[0, 0:1, pl.ds(t * BN, BN)]      # [1, BN]
+        dbx = db_ref[0, 1:2, pl.ds(t * BN, BN)]
+        vals_t = vals_ref[0, :, pl.ds(t * BN, BN)]   # [C1, BN]
+        dy = jnp.transpose(qy) - dby                 # [BQ, BN]
+        dx = jnp.transpose(qx) - dbx
+        w = jnp.exp(-(dy * dy + dx * dx) / temp)     # [BQ, BN]
+        # acc [C1, BQ] += vals_t [C1, BN] @ w^T [BN, BQ]
+        return acc + jax.lax.dot_general(
+            vals_t, w, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    acc = jax.lax.fori_loop(
+        0, n // BN, body, jnp.zeros((c1, BQ), jnp.float32))
+    out_ref[0, :, :] = acc
+
+
+def _bwd_kernel(temp_ref, q_ref, db_ref, gden_ref, dvals_ref):
+    """d vals^T [C, N] += g_scaled [C, BQ] @ w [BQ, BN] per tile, accumulated
+    over query blocks (grid dim 1 revisits the output block)."""
+    temp = temp_ref[0, 0]
+    i = pl.program_id(1)
+    n = db_ref.shape[2]
+    qy = q_ref[0:1, :]
+    qx = q_ref[1:2, :]
+
+    @pl.when(i == 0)
+    def _init():
+        dvals_ref[0, :, :] = jnp.zeros_like(dvals_ref[0])
+
+    g_scaled = gden_ref[0, :, :]                     # [C, BQ] (pre-divided)
+
+    def body(t, _):
+        dby = db_ref[0, 0:1, pl.ds(t * BN, BN)]
+        dbx = db_ref[0, 1:2, pl.ds(t * BN, BN)]
+        dy = jnp.transpose(qy) - dby
+        dx = jnp.transpose(qx) - dbx
+        w = jnp.exp(-(dy * dy + dx * dx) / temp)     # [BQ, BN]
+        upd = jnp.dot(g_scaled, w, preferred_element_type=jnp.float32)
+        dvals_ref[0, :, pl.ds(t * BN, BN)] = (
+            dvals_ref[0, :, pl.ds(t * BN, BN)] + upd)
+        return 0
+
+    jax.lax.fori_loop(0, n // BN, body, 0)
+
+
+def _pad_last(x: jnp.ndarray, mult: int, value=0.0) -> jnp.ndarray:
+    pad = (-x.shape[-1]) % mult
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * (x.ndim - 1) + [(0, pad)]
+    return jnp.pad(x, widths, constant_values=value)
+
+
+def _run_fwd(queries, db, vals, temp, interpret):
+    """queries [Q, 2], db [G, N, 2], vals [G, N, C] -> (num [G, Q, C],
+    den [G, Q])."""
+    g, n, c = vals.shape
+    q = queries.shape[0]
+    qt = _pad_last(queries.T, BQ, value=1e6)             # [2, Qp]
+    dbt = _pad_last(jnp.swapaxes(db, 1, 2), BN, -1e6)    # [G, 2, Np]
+    ones = jnp.ones((g, n, 1), vals.dtype)
+    vals_ext = jnp.concatenate([vals, ones], axis=-1)     # [G, N, C+1]
+    vt = _pad_last(jnp.swapaxes(vals_ext, 1, 2), BN)      # [G, C+1, Np]
+    q_pad, n_pad = qt.shape[1], dbt.shape[2]
+    c1 = c + 1
+    temp_arr = jnp.full((1, 1), temp, jnp.float32)
+
+    out_t = pl.pallas_call(
+        _fwd_kernel,
+        grid=(g, q_pad // BQ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((2, BQ), lambda gi, qi: (0, qi)),
+            pl.BlockSpec((1, 2, n_pad), lambda gi, qi: (gi, 0, 0)),
+            pl.BlockSpec((1, c1, n_pad), lambda gi, qi: (gi, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, c1, BQ), lambda gi, qi: (gi, 0, qi)),
+        out_shape=jax.ShapeDtypeStruct((g, c1, q_pad), jnp.float32),
+        interpret=interpret,
+    )(temp_arr, qt, dbt, vt)
+    num = jnp.swapaxes(out_t[:, :c, :q], 1, 2)           # [G, Q, C]
+    den = out_t[:, c, :q]                                # [G, Q]
+    return num, den
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def softmax_interp_pallas(queries, db, vals, temp: float = 25.0,
+                          interpret: bool = False):
+    """out[g, q, :] = sum_n softmax_n(-||q - db[g, n]||^2 / temp) vals[g, n, :].
+
+    Args:
+      queries: [Q, 2] float32 (the static superpixel grid).
+      db: [G, N, 2] float32 trajectory positions.
+      vals: [G, N, C] float32 per-trajectory values.
+    Returns:
+      [G, Q, C] float32.
+    """
+    num, den = _run_fwd(queries, db, vals, temp, interpret)
+    return num / den[..., None]
+
+
+def _vjp_fwd(queries, db, vals, temp, interpret):
+    num, den = _run_fwd(queries, db, vals, temp, interpret)
+    return num / den[..., None], (queries, db, vals, den)
+
+
+def _vjp_bwd(temp, interpret, residuals, g_out):
+    queries, db, vals, den = residuals
+    g, n, c = vals.shape
+    q = queries.shape[0]
+    qt = _pad_last(queries.T, BQ, value=1e6)
+    dbt = _pad_last(jnp.swapaxes(db, 1, 2), BN, -1e6)
+    q_pad, n_pad = qt.shape[1], dbt.shape[2]
+    temp_arr = jnp.full((1, 1), temp, jnp.float32)
+
+    # Pre-scale the cotangent by 1/den and transpose to [G, C, Qp].
+    g_scaled = g_out / jnp.maximum(den, 1e-30)[..., None]
+    gt = _pad_last(jnp.swapaxes(g_scaled, 1, 2), BQ)      # [G, C, Qp]
+
+    dvals_t = pl.pallas_call(
+        _bwd_kernel,
+        grid=(g, q_pad // BQ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((2, BQ), lambda gi, qi: (0, qi)),
+            pl.BlockSpec((1, 2, n_pad), lambda gi, qi: (gi, 0, 0)),
+            pl.BlockSpec((1, c, BQ), lambda gi, qi: (gi, 0, qi)),
+        ],
+        out_specs=pl.BlockSpec((1, c, n_pad), lambda gi, qi: (gi, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((g, c, n_pad), jnp.float32),
+        interpret=interpret,
+    )(temp_arr, qt, dbt, gt)
+    dvals = jnp.swapaxes(dvals_t[:, :, :n], 1, 2)
+    # No gradient to queries (static grid) or db (weights are stop-grad by
+    # the loss's design).
+    return None, None, dvals
+
+
+softmax_interp_pallas.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def softmax_interp_reference(queries, db, vals, temp: float = 25.0):
+    """Dense jnp reference (same math, no blocking) for tests."""
+    dy = queries[None, :, None, 0] - db[:, None, :, 0]
+    dx = queries[None, :, None, 1] - db[:, None, :, 1]
+    w = jnp.exp(-(dy * dy + dx * dx) / temp)       # [G, Q, N]
+    num = jnp.einsum("gqn,gnc->gqc", w, vals)
+    den = jnp.sum(w, axis=-1, keepdims=True)
+    return num / den

@@ -23,14 +23,28 @@ import numpy as np
 # Orbax state checkpointing
 # ---------------------------------------------------------------------------
 
-def save_checkpoint(ckpt_dir: str, state, step: int, keep: int = 5) -> None:
+def save_checkpoint(ckpt_dir: str, state, step: int, keep: int = 5,
+                    metric: Optional[float] = None,
+                    mode: str = "min") -> None:
+    """Save the state; with `metric` given, retention keeps the best-k
+    checkpoints by that metric (reference ModelCheckpoint save_top_k=5 on
+    val_losses/EPE, scripts/flow_training.py:110-116)."""
     import orbax.checkpoint as ocp
 
     path = Path(ckpt_dir).absolute()
     path.mkdir(parents=True, exist_ok=True)
-    with ocp.CheckpointManager(
-            path, options=ocp.CheckpointManagerOptions(max_to_keep=keep)) as mgr:
-        mgr.save(step, args=ocp.args.StandardSave(_to_pytree(state)))
+    options = ocp.CheckpointManagerOptions(max_to_keep=keep)
+    if metric is not None:
+        options = ocp.CheckpointManagerOptions(
+            max_to_keep=keep,
+            best_fn=lambda m: m["metric"],
+            best_mode=mode,
+        )
+    with ocp.CheckpointManager(path, options=options) as mgr:
+        kwargs = {}
+        if metric is not None:
+            kwargs["metrics"] = {"metric": float(metric)}
+        mgr.save(step, args=ocp.args.StandardSave(_to_pytree(state)), **kwargs)
         mgr.wait_until_finished()
 
 

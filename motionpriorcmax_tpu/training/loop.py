@@ -191,14 +191,17 @@ def train_flow(
             val = bank.compute()
             logger.log(step, val)
             metric = val.get(monitor, val.get("val_losses/total"))
+            if metric is not None:
+                # Best-k retention on the monitored metric (reference
+                # ModelCheckpoint save_top_k=5 mode='min').
+                save_checkpoint(str(Path(workdir) / "checkpoints"), state,
+                                step=step, metric=metric)
             if metric is not None and metric < best:
                 best = metric
                 # Best-run summary: push '<key>_at_best' for every metric at
                 # the new best step (reference log_best_metrics,
                 # src/utils/metrics.py:5-31).
                 logger.log(step, {f"{k}_at_best": v for k, v in val.items()})
-                save_checkpoint(str(Path(workdir) / "checkpoints"), state,
-                                step=step)
         else:
             save_checkpoint(str(Path(workdir) / "checkpoints"), state, step=step)
 

@@ -1,0 +1,55 @@
+"""Pallas softmax-interp kernel vs dense jnp reference (interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from motionpriorcmax_tpu.ops.pallas import (softmax_interp_pallas,
+                                            softmax_interp_reference)
+
+
+def make_inputs(rng, g=2, q=700, n=2500, c=4):
+    queries = rng.uniform(0, 100, (q, 2)).astype(np.float32)
+    db = rng.uniform(0, 100, (g, n, 2)).astype(np.float32)
+    vals = rng.normal(size=(g, n, c)).astype(np.float32)
+    return jnp.asarray(queries), jnp.asarray(db), jnp.asarray(vals)
+
+
+def test_forward_matches_reference(rng):
+    queries, db, vals = make_inputs(rng)
+    got = softmax_interp_pallas(queries, db, vals, 25.0, True)
+    want = softmax_interp_reference(queries, db, vals, 25.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_forward_unpadded_sizes(rng):
+    # Exact multiples of the tile sizes (no padding path).
+    queries, db, vals = make_inputs(rng, g=1, q=512, n=1920, c=4)
+    got = softmax_interp_pallas(queries, db, vals, 16.0, True)
+    want = softmax_interp_reference(queries, db, vals, 16.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_backward_matches_reference(rng):
+    queries, db, vals = make_inputs(rng, g=1, q=600, n=2100, c=3)
+    w = jnp.asarray(rng.normal(size=(1, 600, 3)).astype(np.float32))
+
+    def f_pallas(v):
+        return jnp.sum(softmax_interp_pallas(queries, db, v, 25.0, True) * w)
+
+    def f_ref(v):
+        # Reference with stop-grad weights (the kernel's contract).
+        dy = queries[None, :, None, 0] - db[:, None, :, 0]
+        dx = queries[None, :, None, 1] - db[:, None, :, 1]
+        wts = jax.lax.stop_gradient(jnp.exp(-(dy * dy + dx * dx) / 25.0))
+        num = jnp.einsum("gqn,gnc->gqc", wts, v)
+        den = jnp.sum(wts, axis=-1, keepdims=True)
+        return jnp.sum(num / den * w)
+
+    g_pallas = jax.grad(f_pallas)(vals)
+    g_ref = jax.grad(f_ref)(vals)
+    np.testing.assert_allclose(np.asarray(g_pallas), np.asarray(g_ref),
+                               atol=1e-4, rtol=1e-3)
