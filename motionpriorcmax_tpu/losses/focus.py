@@ -76,6 +76,10 @@ class FocusLossConfig:
     knn_block_size: int = 1024
     knn_method: str = "exact"
     softmax_temp: float = 25.0
+    # Fused Pallas kernel for the softmax path (ops/pallas/softmax_interp):
+    # None = auto (on for the TPU backend, off elsewhere); measured 2.6x the
+    # XLA blockwise path (145 ms vs 376 ms fwd+bwd at DSEC scale).  l2 only.
+    use_pallas_interp: Optional[bool] = None
 
     # The trajectories handed to `focus_loss` must include pixel offsets
     # (reference TrajectoryLossBase.is_needing_offsets, focus.py:46).
@@ -240,6 +244,21 @@ def _softmax_interpolate_flow(cfg: FocusLossConfig, grid_points: jnp.ndarray,
 
     db = traj_at_tmid.reshape(b * n_bins, n, 2)
     vals = values.reshape(b * n_bins, n, c)
+
+    use_pallas = cfg.use_pallas_interp
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas and cfg.dist_norm == "l2":
+        from ..ops.pallas import softmax_interp_pallas
+
+        out = softmax_interp_pallas(grid_points, db, vals, float(temp))
+        out = out.reshape(b, n_bins, hq, wq, c)
+        flow_lut = out[..., :n_tref * 2].reshape(b, n_bins, hq, wq, n_tref, 2)
+        flow_to_next = None
+        if want_next:
+            flow_to_next = out[:, :-1, :, :, n_tref * 2:].reshape(
+                b, n_bins - 1, hq, wq, 1, 2)
+        return flow_lut, flow_to_next
 
     block = max(min(cfg.knn_block_size, q), 1)
     num_blocks = -(-q // block)
