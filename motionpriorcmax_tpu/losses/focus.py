@@ -427,9 +427,13 @@ def focus_loss(
     traj_at_tref = trajectories[:, : cfg.num_tref]
     traj_at_tmid = trajectories[:, cfg.num_tref:]
 
-    flow_lut, flow_to_next = interpolate_flow(cfg, traj_at_tref, traj_at_tmid)
-    warped = warp_events(cfg, events, flow_lut)
-    iwes = make_iwes(cfg, warped, t_ref, num_pos_events)
+    with jax.named_scope("focus/interpolate_flow"):
+        flow_lut, flow_to_next = interpolate_flow(cfg, traj_at_tref,
+                                                  traj_at_tmid)
+    with jax.named_scope("focus/warp_events"):
+        warped = warp_events(cfg, events, flow_lut)
+    with jax.named_scope("focus/make_iwes"):
+        iwes = make_iwes(cfg, warped, t_ref, num_pos_events)
 
     focus = grad_ops.focus_objective(iwes, loss_type=cfg.loss_type,
                                      norm=cfg.focus_loss_norm)

@@ -87,6 +87,14 @@ def curve_flow_from_reference(params: jnp.ndarray,
     return jnp.einsum("bdphw,tp->tbdhw", pv, basis)
 
 
+def curve_params_from_2view(flow: jnp.ndarray) -> jnp.ndarray:
+    """Degree-1 curve parameters from a 2-view flow tensor (reference
+    BezierCurves.from_2view, curves/bezier.py:47-52 — used for paper
+    visualizations): the flow IS the single control point."""
+    assert flow.ndim == 4 and flow.shape[1] == 2, flow.shape
+    return flow
+
+
 def coords_grid(batch: int, ht: int, wd: int) -> jnp.ndarray:
     """[B, 2, H, W] pixel coordinate grid, channel order (x, y).
 

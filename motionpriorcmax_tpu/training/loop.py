@@ -95,6 +95,11 @@ def make_flow_render_fn(state, cfg: TrajectoryNetConfig,
                                           train=False, num_pos_events=num_pos)
         iwes = np.asarray(misc["iwes"])  # [B, n_tref, (2,) H, W]
         out["pred_iwe"] = iwes[0, 0, 0] if iwes.ndim == 5 else iwes[0, 0]
+        if "voxel" not in dev_batch:
+            from .trajectory_net import voxelize_batch_on_device
+
+            dev_batch["voxel"] = voxelize_batch_on_device(
+                cfg, dev_batch["events"])
         flow = predict_flow(state, dev_batch["voxel"], cfg)
         out["pred_flow"] = np.asarray(flow[0])
 

@@ -49,6 +49,11 @@ class TrajectoryNetConfig:
     basis_type: str = "polynomial"   # dct | learned | polynomial
     skip_frames: int = 1
     anchor_time: float = 0.0
+    # On-device voxelization normalization (reference data.norm_type,
+    # config/exe/flow_training/dsec.yaml:33) — applied when the batch carries
+    # raw events but no precomputed 'voxel'.
+    voxel_norm_type: Optional[str] = "mean_std"
+    voxel_quantile: float = 0.0
 
 
 class TrajectoryModel(nn.Module):
@@ -166,6 +171,29 @@ def _flow_from_coeffs(cfg: TrajectoryNetConfig, coeff_grid: jnp.ndarray,
     return dense
 
 
+def voxelize_batch_on_device(cfg: TrajectoryNetConfig,
+                             events: jnp.ndarray) -> jnp.ndarray:
+    """[B, M, 6] (y, x, t, p, bin, valid) -> [B, num_bins, H, W] voxel grids.
+
+    Same semantics as the host/reference voxel path: trilinear vote with
+    t_norm = t * (num_bins - 1) (the loader already normalized t to [0, 1]),
+    then quantile clamp and mean_std/max normalization
+    (src/loader/dsec/utils.py:29-75)."""
+    from ..ops.events import (clamp_voxel_grid_quantile, normalize_voxel_grid,
+                              voxel_grid_from_events)
+
+    h, w = cfg.image_shape
+
+    def one(ev):
+        grid = voxel_grid_from_events(
+            ev[:, 0], ev[:, 1], ev[:, 2] * (cfg.num_bins - 1), ev[:, 3],
+            ev[:, 5], num_bins=cfg.num_bins, height=h, width=w)
+        grid = clamp_voxel_grid_quantile(grid, cfg.voxel_quantile)
+        return normalize_voxel_grid(grid, cfg.voxel_norm_type)
+
+    return jax.vmap(one)(events)
+
+
 def _step(cfg: TrajectoryNetConfig, loss_cfg: FocusLossConfig,
           params, batch_stats, batch: Dict[str, jnp.ndarray], rng: jax.Array,
           train: bool, num_pos_events: int = -1):
@@ -176,12 +204,19 @@ def _step(cfg: TrajectoryNetConfig, loss_cfg: FocusLossConfig,
     model = TrajectoryModel(cfg)
     variables = {"params": params, "batch_stats": batch_stats}
 
+    voxel = batch.get("voxel")
+    if voxel is None:
+        # TPU-first: voxelize inside the jitted step from the raw padded
+        # events — the reference does this on CPU dataloader workers
+        # (SURVEY.md §3.1 hot loop (e)); here it rides the accelerator.
+        voxel = voxelize_batch_on_device(cfg, batch["events"])
+
     if train:
         coeff_grid, mutated = model.apply(
-            variables, batch["voxel"], train=True, mutable=["batch_stats"])
+            variables, voxel, train=True, mutable=["batch_stats"])
         new_batch_stats = mutated["batch_stats"]
     else:
-        coeff_grid = model.apply(variables, batch["voxel"], train=False)
+        coeff_grid = model.apply(variables, voxel, train=False)
         new_batch_stats = batch_stats
 
     def basis_fn(times):

@@ -51,6 +51,21 @@ def flow_to_rgb(flow: np.ndarray, max_magnitude: float | None = None,
     return _hsv_to_rgb_u8(hsv)
 
 
+def color_wheel(size: int = 256) -> np.ndarray:
+    """HSV color wheel legend for flow maps (reference :44-55).
+
+    Returns [size, size, 3] uint8.
+    """
+    xx, yy = np.meshgrid(np.linspace(-1, 1, size), np.linspace(-1, 1, size))
+    mag = np.linalg.norm(np.stack((xx, yy), axis=2), axis=2)
+    ang = (np.arctan2(xx, yy) + np.pi) * 180.0 / np.pi / 2.0
+    hsv = np.zeros((size, size, 3), dtype=np.uint8)
+    hsv[..., 0] = ang.astype(np.uint8)
+    hsv[..., 1] = 255
+    hsv[..., 2] = (255 * mag / mag.max()).astype(np.uint8)
+    return _hsv_to_rgb_u8(hsv)
+
+
 def normalize_iwe(images: np.ndarray, invert: bool = False) -> np.ndarray:
     """Min-max normalize a stack of images to uint8 (reference :57-63)."""
     images = np.asarray(images, dtype=np.float32)
