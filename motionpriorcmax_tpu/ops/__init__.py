@@ -27,8 +27,10 @@ from .gradients import (
     charbonnier,
     smoothness_loss,
 )
-from .knn import knn_blocked
+from .knn import knn_blocked, knn_batched, knn_grid_window
 from .flow_error import calculate_flow_error
+from .padding import pad_to_multiple, unpad, requires_padding
+from .scatter import scatter_add_1d, scatter_add_direct
 
 __all__ = [
     "EVENT_COLS",
@@ -49,5 +51,12 @@ __all__ = [
     "charbonnier",
     "smoothness_loss",
     "knn_blocked",
+    "knn_batched",
+    "knn_grid_window",
     "calculate_flow_error",
+    "pad_to_multiple",
+    "unpad",
+    "requires_padding",
+    "scatter_add_1d",
+    "scatter_add_direct",
 ]
