@@ -44,7 +44,7 @@ def test_optimization_recovers_translation(method, rng):
     key = jax.random.PRNGKey(0)
     step = jax.jit(lambda c, s, k: _update(c, s, k, loss_fn, tx))
 
-    for i in range(80):
+    for i in range(45):
         key, sub = jax.random.split(key)
         coeffs, opt_state = step(coeffs, opt_state, sub)
 
