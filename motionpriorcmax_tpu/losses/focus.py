@@ -80,6 +80,12 @@ class FocusLossConfig:
     # None = auto (on for the TPU backend, off elsewhere); measured 2.6x the
     # XLA blockwise path (145 ms vs 376 ms fwd+bwd at DSEC scale).  l2 only.
     use_pallas_interp: Optional[bool] = None
+    # Row-band truncation of the interpolation database scan (pixels).  The
+    # band must cover max displacement + a few sqrt(softmax_temp); excluded
+    # trajectories carry weights < exp(-band^2/temp) ~ 0, so this is
+    # numerically exact, not an approximation (DSEC caps displacement at
+    # 60 px; 120 px default leaves 60 px of slack).  0 disables.
+    interp_band_px: float = 120.0
 
     # The trajectories handed to `focus_loss` must include pixel offsets
     # (reference TrajectoryLossBase.is_needing_offsets, focus.py:46).
@@ -251,7 +257,10 @@ def _softmax_interpolate_flow(cfg: FocusLossConfig, grid_points: jnp.ndarray,
     if use_pallas and cfg.dist_norm == "l2":
         from ..ops.pallas import softmax_interp_pallas
 
-        out = softmax_interp_pallas(grid_points, db, vals, float(temp))
+        band = (float(cfg.interp_band_px), float(cfg.lut_superpixel_size),
+                float(wq))
+        out = softmax_interp_pallas(grid_points, db, vals, float(temp),
+                                    False, band)
         out = out.reshape(b, n_bins, hq, wq, c)
         flow_lut = out[..., :n_tref * 2].reshape(b, n_bins, hq, wq, n_tref, 2)
         flow_to_next = None

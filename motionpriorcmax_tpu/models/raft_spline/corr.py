@@ -102,6 +102,58 @@ def bilinear_sample_hw(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.
             + corner(y0i + 1, x0i + 1, fy * fx))
 
 
+def _window_lookup(corr_flat: jnp.ndarray, cx: jnp.ndarray, cy: jnp.ndarray,
+                   radius: int) -> jnp.ndarray:
+    """Bilinear (2r+1)^2-window lookup via ONE contiguous window gather.
+
+    All window offsets are integers, so every sampled point shares the same
+    fractional part: instead of (2r+1)^2 x 4 scattered gathers per query
+    (TPU gathers run at ~tens of M elem/s), gather one integer-aligned
+    [2r+2, 2r+2] window with two CONTIGUOUS-slice take_along_axis calls (row
+    gathers ride HBM bandwidth) and combine the 4 shifted views with the
+    shared bilinear weights on the VPU.  Zero padding outside the map matches
+    grid_sample(padding_mode='zeros').
+
+    Args:
+      corr_flat: [N, H2, W2] one map per query.
+      cx, cy: [N] window centers (level pixels).
+    Returns:
+      [N, (2r+1)^2] features, row-major over (dy, dx) — the reference's
+      delta ordering (corr.py:322-333).
+    """
+    n, h2, w2 = corr_flat.shape
+    r = radius
+    win = 2 * r + 2
+
+    x0 = jnp.floor(cx)
+    y0 = jnp.floor(cy)
+    fx = (cx - x0)[:, None, None]
+    fy = (cy - y0)[:, None, None]
+
+    offs = jnp.arange(-r, r + 2, dtype=jnp.int32)            # [win]
+    rows = y0.astype(jnp.int32)[:, None] + offs[None, :]     # [N, win]
+    cols = x0.astype(jnp.int32)[:, None] + offs[None, :]
+    row_ok = (rows >= 0) & (rows < h2)
+    col_ok = (cols >= 0) & (cols < w2)
+
+    rows_c = jnp.clip(rows, 0, h2 - 1)
+    cols_c = jnp.clip(cols, 0, w2 - 1)
+    # Row gather: [N, win, W2] (each gathered element is a contiguous row).
+    band = jnp.take_along_axis(corr_flat, rows_c[:, :, None], axis=1)
+    # Column gather within the band: [N, win, win].
+    window = jnp.take_along_axis(band, cols_c[:, None, :], axis=2)
+    window = jnp.where(row_ok[:, :, None] & col_ok[:, None, :], window, 0.0)
+
+    # Shared-fraction bilinear combine of the 4 shifted (2r+1)^2 views.
+    w00 = window[:, :-1, :-1]
+    w01 = window[:, :-1, 1:]
+    w10 = window[:, 1:, :-1]
+    w11 = window[:, 1:, 1:]
+    feat = ((1 - fy) * ((1 - fx) * w00 + fx * w01)
+            + fy * ((1 - fx) * w10 + fx * w11))
+    return feat.reshape(n, (2 * r + 1) ** 2)
+
+
 def lookup_corr_pyramid(
     pyramid: List[Tuple[Tuple[int, ...], jnp.ndarray]],
     coords: jnp.ndarray,
@@ -122,27 +174,18 @@ def lookup_corr_pyramid(
     t0, b, _, h1, w1 = coords.shape
     r = radius
     k = (2 * r + 1) ** 2
-    d = jnp.arange(-r, r + 1, dtype=jnp.float32)
-    # delta order matches torch meshgrid(dy, dx, 'ij')[::-1] stacked (x, y):
-    # rows scan dy, cols scan dx.
-    ddx = jnp.tile(d[None, :], (2 * r + 1, 1)).reshape(-1)   # x offsets
-    ddy = jnp.tile(d[:, None], (1, 2 * r + 1)).reshape(-1)   # y offsets
 
     out_levels = []
     for lvl, (target_idx, corr_l) in enumerate(pyramid):
         tl = len(target_idx)
         coords_sel = coords[jnp.asarray(target_idx)] / (2.0 ** lvl)
-        # [T_l, B, h1, w1] centers
-        cx = coords_sel[:, :, 0]
-        cy = coords_sel[:, :, 1]
-        # queries: [T_l*B*h1*w1]
-        cx = cx.reshape(-1, 1) + ddx[None, :]
-        cy = cy.reshape(-1, 1) + ddy[None, :]
+        cx = coords_sel[:, :, 0].reshape(-1)   # [T_l*B*h1*w1]
+        cy = coords_sel[:, :, 1].reshape(-1)
         h2, w2 = corr_l.shape[-2:]
-        img = corr_l.reshape(-1, h2, w2)  # T_l*B*h1*w1 query images
         # corr_l layout is [T_l, B, q(h1*w1), h2, w2]; queries flatten the
         # same way as (cx, cy) -> rows align.
-        feat = bilinear_sample_hw(img, cx, cy)  # [T_l*B*h1*w1, K]
+        img = corr_l.reshape(-1, h2, w2)
+        feat = _window_lookup(img, cx, cy, r)  # [T_l*B*h1*w1, K]
         feat = feat.reshape(tl, b, h1, w1, k)
         out_levels.append(feat)
 

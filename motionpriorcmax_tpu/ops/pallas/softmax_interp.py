@@ -43,13 +43,44 @@ BQ = 512
 BN = 1024
 
 
-def _fwd_kernel(temp_ref, q_ref, db_ref, vals_ref, out_ref):
+def _tile_band(band_ref, q_ref, n):
+    """Database-tile range [t_lo, t_hi) covering this query block's row band.
+
+    band_ref holds (margin_px, cell_size, wq); the db slots are row-major
+    over the trajectory START grid, so slots within margin of the block's
+    query rows live in a contiguous slot band.  Tiles outside carry weights
+    < exp(-margin^2/temp) ~ 0, so truncation is numerically exact for
+    margin >> sqrt(temp) + max displacement.  margin_px <= 0 disables
+    banding (full range).
+    """
+    margin = band_ref[0, 0]
+    cell = band_ref[0, 1]
+    wq = band_ref[0, 2]
+    qy = q_ref[0:1, :]
+    full = jnp.int32(n // BN)
+
+    min_qy = jnp.min(qy)
+    # Padding queries sit at 1e6 and would blow the band up; clamp the max to
+    # the largest real coordinate scale (margin handles the rest).
+    max_qy = jnp.minimum(jnp.max(qy), jnp.float32(1e5))
+    lo_slot = jnp.floor((min_qy - margin) / cell) * wq
+    hi_slot = (jnp.floor((max_qy + margin) / cell) + 1.0) * wq
+    t_lo = jnp.clip(lo_slot / BN, 0, full).astype(jnp.int32)
+    t_hi = jnp.clip(jnp.ceil(hi_slot / BN), 0, full).astype(jnp.int32)
+    use_band = margin > 0
+    t_lo = jnp.where(use_band, t_lo, 0)
+    t_hi = jnp.where(use_band, t_hi, full)
+    return t_lo, t_hi
+
+
+def _fwd_kernel(temp_ref, band_ref, q_ref, db_ref, vals_ref, out_ref):
     """q_ref [2, BQ]; db_ref [1, 2, N]; vals_ref [1, C1, N]; out [1, C1, BQ]."""
     temp = temp_ref[0, 0]
     c1 = vals_ref.shape[1]
     n = db_ref.shape[2]
     qy = q_ref[0:1, :]                      # [1, BQ]
     qx = q_ref[1:2, :]
+    t_lo, t_hi = _tile_band(band_ref, q_ref, n)
 
     def body(t, acc):
         dby = db_ref[0, 0:1, pl.ds(t * BN, BN)]      # [1, BN]
@@ -64,11 +95,11 @@ def _fwd_kernel(temp_ref, q_ref, db_ref, vals_ref, out_ref):
             preferred_element_type=jnp.float32)
 
     acc = jax.lax.fori_loop(
-        0, n // BN, body, jnp.zeros((c1, BQ), jnp.float32))
+        t_lo, t_hi, body, jnp.zeros((c1, BQ), jnp.float32))
     out_ref[0, :, :] = acc
 
 
-def _bwd_kernel(temp_ref, q_ref, db_ref, gden_ref, dvals_ref):
+def _bwd_kernel(temp_ref, band_ref, q_ref, db_ref, gden_ref, dvals_ref):
     """d vals^T [C, N] += g_scaled [C, BQ] @ w [BQ, BN] per tile, accumulated
     over query blocks (grid dim 1 revisits the output block)."""
     temp = temp_ref[0, 0]
@@ -76,6 +107,7 @@ def _bwd_kernel(temp_ref, q_ref, db_ref, gden_ref, dvals_ref):
     n = db_ref.shape[2]
     qy = q_ref[0:1, :]
     qx = q_ref[1:2, :]
+    t_lo, t_hi = _tile_band(band_ref, q_ref, n)
 
     @pl.when(i == 0)
     def _init():
@@ -94,7 +126,7 @@ def _bwd_kernel(temp_ref, q_ref, db_ref, gden_ref, dvals_ref):
             dvals_ref[0, :, pl.ds(t * BN, BN)] + upd)
         return 0
 
-    jax.lax.fori_loop(0, n // BN, body, 0)
+    jax.lax.fori_loop(t_lo, t_hi, body, 0)
 
 
 def _pad_last(x: jnp.ndarray, mult: int, value=0.0) -> jnp.ndarray:
@@ -105,7 +137,11 @@ def _pad_last(x: jnp.ndarray, mult: int, value=0.0) -> jnp.ndarray:
     return jnp.pad(x, widths, constant_values=value)
 
 
-def _run_fwd(queries, db, vals, temp, interpret):
+def _band_arr(band):
+    return jnp.asarray([list(band)], jnp.float32)  # [1, 3]
+
+
+def _run_fwd(queries, db, vals, temp, interpret, band):
     """queries [Q, 2], db [G, N, 2], vals [G, N, C] -> (num [G, Q, C],
     den [G, Q])."""
     g, n, c = vals.shape
@@ -124,6 +160,7 @@ def _run_fwd(queries, db, vals, temp, interpret):
         grid=(g, q_pad // BQ),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((2, BQ), lambda gi, qi: (0, qi)),
             pl.BlockSpec((1, 2, n_pad), lambda gi, qi: (gi, 0, 0)),
             pl.BlockSpec((1, c1, n_pad), lambda gi, qi: (gi, 0, 0)),
@@ -131,34 +168,38 @@ def _run_fwd(queries, db, vals, temp, interpret):
         out_specs=pl.BlockSpec((1, c1, BQ), lambda gi, qi: (gi, 0, qi)),
         out_shape=jax.ShapeDtypeStruct((g, c1, q_pad), jnp.float32),
         interpret=interpret,
-    )(temp_arr, qt, dbt, vt)
+    )(temp_arr, _band_arr(band), qt, dbt, vt)
     num = jnp.swapaxes(out_t[:, :c, :q], 1, 2)           # [G, Q, C]
     den = out_t[:, c, :q]                                # [G, Q]
     return num, den
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def softmax_interp_pallas(queries, db, vals, temp: float = 25.0,
-                          interpret: bool = False):
+                          interpret: bool = False,
+                          band=(0.0, 0.0, 0.0)):
     """out[g, q, :] = sum_n softmax_n(-||q - db[g, n]||^2 / temp) vals[g, n, :].
 
     Args:
       queries: [Q, 2] float32 (the static superpixel grid).
       db: [G, N, 2] float32 trajectory positions.
       vals: [G, N, C] float32 per-trajectory values.
+      band: (margin_px, cell_size, wq) row-band truncation of the database
+        scan — requires queries AND db slots in row-major grid order; margin
+        must exceed max displacement + a few sqrt(temp).  (0, 0, 0) = off.
     Returns:
       [G, Q, C] float32.
     """
-    num, den = _run_fwd(queries, db, vals, temp, interpret)
+    num, den = _run_fwd(queries, db, vals, temp, interpret, band)
     return num / den[..., None]
 
 
-def _vjp_fwd(queries, db, vals, temp, interpret):
-    num, den = _run_fwd(queries, db, vals, temp, interpret)
+def _vjp_fwd(queries, db, vals, temp, interpret, band):
+    num, den = _run_fwd(queries, db, vals, temp, interpret, band)
     return num / den[..., None], (queries, db, vals, den)
 
 
-def _vjp_bwd(temp, interpret, residuals, g_out):
+def _vjp_bwd(temp, interpret, band, residuals, g_out):
     queries, db, vals, den = residuals
     g, n, c = vals.shape
     q = queries.shape[0]
@@ -176,6 +217,7 @@ def _vjp_bwd(temp, interpret, residuals, g_out):
         grid=(g, q_pad // BQ),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((2, BQ), lambda gi, qi: (0, qi)),
             pl.BlockSpec((1, 2, n_pad), lambda gi, qi: (gi, 0, 0)),
             pl.BlockSpec((1, c, BQ), lambda gi, qi: (gi, 0, qi)),
@@ -183,7 +225,7 @@ def _vjp_bwd(temp, interpret, residuals, g_out):
         out_specs=pl.BlockSpec((1, c, n_pad), lambda gi, qi: (gi, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((g, c, n_pad), jnp.float32),
         interpret=interpret,
-    )(temp_arr, qt, dbt, gt)
+    )(temp_arr, _band_arr(band), qt, dbt, gt)
     dvals = jnp.swapaxes(dvals_t[:, :, :n], 1, 2)
     # No gradient to queries (static grid) or db (weights are stop-grad by
     # the loss's design).

@@ -53,3 +53,33 @@ def test_backward_matches_reference(rng):
     g_ref = jax.grad(f_ref)(vals)
     np.testing.assert_allclose(np.asarray(g_pallas), np.asarray(g_ref),
                                atol=1e-4, rtol=1e-3)
+
+
+def test_band_truncation_matches_full(rng):
+    """Row-band truncation must be numerically identical when the margin
+    covers the displacement (excluded weights underflow to zero)."""
+    gh, gw, cell = 24, 32, 4.0
+    ys = (np.arange(gh) * cell + cell / 2 - 0.5)
+    xs = (np.arange(gw) * cell + cell / 2 - 0.5)
+    gy, gx = np.meshgrid(ys, xs, indexing="ij")
+    queries = jnp.asarray(
+        np.stack([gy.reshape(-1), gx.reshape(-1)], -1).astype(np.float32))
+    base = np.asarray(queries)
+    db = jnp.asarray((base[None] + rng.uniform(-6, 6, (2,) + base.shape))
+                     .astype(np.float32))
+    vals = jnp.asarray(rng.normal(size=(2, base.shape[0], 3))
+                       .astype(np.float32))
+
+    full = softmax_interp_pallas(queries, db, vals, 16.0, True)
+    banded = softmax_interp_pallas(queries, db, vals, 16.0, True,
+                                   (40.0, cell, float(gw)))
+    np.testing.assert_allclose(np.asarray(banded), np.asarray(full),
+                               atol=1e-4, rtol=1e-4)
+
+    g_full = jax.grad(lambda v: jnp.sum(
+        softmax_interp_pallas(queries, db, v, 16.0, True) ** 2))(vals)
+    g_band = jax.grad(lambda v: jnp.sum(
+        softmax_interp_pallas(queries, db, v, 16.0, True,
+                              (40.0, cell, float(gw))) ** 2))(vals)
+    np.testing.assert_allclose(np.asarray(g_band), np.asarray(g_full),
+                               atol=1e-4, rtol=1e-3)

@@ -131,3 +131,22 @@ def test_raft_spline_with_images():
     variables = model.init(jax.random.PRNGKey(0), voxel, images, test_mode=True)
     low, up = model.apply(variables, voxel, images, test_mode=True)
     assert up.shape == (1, 2, 32, 32)
+
+
+def test_window_lookup_matches_pointwise(rng):
+    """The contiguous-window lookup must equal per-point bilinear sampling."""
+    from motionpriorcmax_tpu.models.raft_spline.corr import _window_lookup
+
+    n, h2, w2, r = 40, 12, 16, 3
+    img = jnp.asarray(rng.normal(size=(n, h2, w2)).astype(np.float32))
+    cx = jnp.asarray(rng.uniform(-2, w2 + 1, n).astype(np.float32))
+    cy = jnp.asarray(rng.uniform(-2, h2 + 1, n).astype(np.float32))
+
+    got = _window_lookup(img, cx, cy, r)
+
+    d = np.arange(-r, r + 1, dtype=np.float32)
+    ddx = np.tile(d[None, :], (2 * r + 1, 1)).reshape(-1)
+    ddy = np.tile(d[:, None], (1, 2 * r + 1)).reshape(-1)
+    want = bilinear_sample_hw(img, cx[:, None] + ddx[None, :],
+                              cy[:, None] + ddy[None, :])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
