@@ -31,8 +31,14 @@ def main():
     h, w, nbins = 480, 640, 15
     batch, m = 2, 1 << 19  # 2 samples x 524288 events
 
+    import os
+
+    # Mixed precision by default (bf16 convs on the MXU, f32 params/BN/loss);
+    # BENCH_F32=1 forces full f32 for reference-parity timing.
+    dtype = "float32" if os.environ.get("BENCH_F32") == "1" else "bfloat16"
     cfg = TrajectoryNetConfig(image_shape=(h, w), num_bins=nbins, num_basis=1,
-                              patch_size=4, basis_type="polynomial")
+                              patch_size=4, basis_type="polynomial",
+                              compute_dtype=dtype)
     # knn_method='softmax': the TPU-native dense interpolation (see
     # losses/focus.py) — measured 20x faster than the reference-parity exact
     # KNN on v5e with numerically equivalent smooth-field behavior.

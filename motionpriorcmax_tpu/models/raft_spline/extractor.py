@@ -40,47 +40,50 @@ class ResidualBlock(nn.Module):
     planes: int
     norm_fn: str
     stride: int = 1
-    use_running_average: bool = True
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, use_running_average: bool = True):
+        ura = use_running_average
         y = nn.Conv(self.planes, (3, 3), strides=self.stride, padding=1)(x)
-        y = _norm(self.norm_fn, self.use_running_average)(y)
+        y = _norm(self.norm_fn, ura)(y)
         y = nn.relu(y)
         y = nn.Conv(self.planes, (3, 3), padding=1)(y)
-        y = _norm(self.norm_fn, self.use_running_average)(y)
+        y = _norm(self.norm_fn, ura)(y)
         y = nn.relu(y)
         if self.stride != 1 or x.shape[-1] != self.planes:
             x = nn.Conv(self.planes, (1, 1), strides=self.stride)(x)
-            x = _norm(self.norm_fn, self.use_running_average)(x)
+            x = _norm(self.norm_fn, ura)(x)
         return nn.relu(x + y)
 
 
 class BasicEncoder(nn.Module):
     output_dim: int = 256
     norm_fn: str = "instance"
-    use_running_average: bool = True
 
     @nn.compact
-    def __call__(self, inputs: Union[jnp.ndarray, Sequence[jnp.ndarray]]):
+    def __call__(self, inputs: Union[jnp.ndarray, Sequence[jnp.ndarray]],
+                 train: bool = False):
         """NCHW input(s) -> NCHW fmap(s) at 1/8 resolution.
 
         A list input is concatenated along batch and split back (reference
-        encoder's is_list trick), so all entries share one BN batch.
+        encoder's is_list trick), so all entries share one BN batch.  With
+        train=True, BatchNorm uses batch statistics and updates running
+        stats (mutable 'batch_stats'); train=False == the reference's
+        freeze_bn/eval behavior (raft.py:74-77).
         """
         is_list = isinstance(inputs, (list, tuple))
         x = jnp.concatenate(inputs, axis=0) if is_list else inputs
         batch_sizes = [t.shape[0] for t in inputs] if is_list else None
 
         x = jnp.transpose(x, (0, 2, 3, 1))  # NCHW -> NHWC
-        ura = self.use_running_average
+        ura = not train
 
         x = nn.Conv(64, (7, 7), strides=2, padding=3)(x)
         x = _norm(self.norm_fn, ura)(x)
         x = nn.relu(x)
         for planes, stride in ((64, 1), (96, 2), (128, 2)):
-            x = ResidualBlock(planes, self.norm_fn, stride, ura)(x)
-            x = ResidualBlock(planes, self.norm_fn, 1, ura)(x)
+            x = ResidualBlock(planes, self.norm_fn, stride)(x, ura)
+            x = ResidualBlock(planes, self.norm_fn, 1)(x, ura)
         x = nn.Conv(self.output_dim, (1, 1))(x)
 
         x = jnp.transpose(x, (0, 3, 1, 2))  # NHWC -> NCHW

@@ -57,6 +57,8 @@ class RAFTSplineConfig:
     feature_norm: str = "instance"
     motion_dim: int = 128
     iters: int = 12
+    # Freeze BatchNorm during training (reference freeze_bn, raft.py:74-77).
+    freeze_bn: bool = False
 
     def __post_init__(self):
         assert self.use_events or self.use_boundary_images
@@ -135,7 +137,7 @@ class RAFTSpline(nn.Module):
         if cfg.use_events:
             assert voxel_grid is not None
             corr_grids, context_input = self.gen_voxel_grids(voxel_grid)
-            fmaps = self.fnet_ev(corr_grids)
+            fmaps = self.fnet_ev(corr_grids, train=train and not cfg.freeze_bn)
             fmaps = [f.astype(jnp.float32) for f in fmaps]
             fmap1 = fmaps[0]
             fmap2 = jnp.stack(fmaps[1:], axis=0)
@@ -147,7 +149,7 @@ class RAFTSpline(nn.Module):
         if cfg.use_boundary_images:
             assert images is not None and len(images) == 2
             imgs = [2.0 * (im.astype(jnp.float32) / 255.0) - 1.0 for im in images]
-            fm = self.fnet_img(imgs)
+            fm = self.fnet_img(imgs, train=train and not cfg.freeze_bn)
             corr_volumes.append(compute_corr_volume(fm[0], fm[1][None]))
             levels_all.append(cfg.img_levels)
             lookup_ts.append(1.0)
@@ -158,7 +160,7 @@ class RAFTSpline(nn.Module):
         corr = jnp.concatenate(corr_volumes, axis=0)
         pyramid = build_corr_pyramid(corr, levels_all)
 
-        cnet = self.cnet(context_input)
+        cnet = self.cnet(context_input, train=train and not cfg.freeze_bn)
         net = jnp.tanh(cnet[:, :cfg.hidden_dim])
         inp = jax.nn.relu(cnet[:, cfg.hidden_dim:])
 

@@ -54,6 +54,9 @@ class TrajectoryNetConfig:
     # raw events but no precomputed 'voxel'.
     voxel_norm_type: Optional[str] = "mean_std"
     voxel_quantile: float = 0.0
+    # UNet compute dtype: 'bfloat16' doubles MXU conv throughput (params/BN
+    # stay f32).  Default f32 for reference parity (TF32-ish 'high').
+    compute_dtype: str = "float32"
 
 
 class TrajectoryModel(nn.Module):
@@ -64,7 +67,8 @@ class TrajectoryModel(nn.Module):
     def setup(self):
         if self.cfg.model_type != "default":
             raise ValueError(f"unknown model_type {self.cfg.model_type!r}")
-        self.unet = UNet(self.cfg.num_bins, 2 * self.cfg.num_basis)
+        self.unet = UNet(self.cfg.num_bins, 2 * self.cfg.num_basis,
+                         dtype=jnp.dtype(self.cfg.compute_dtype))
         if self.cfg.basis_type == "learned":
             self.basis_mlp = BasisMLP(self.cfg.num_basis)
 
