@@ -83,7 +83,7 @@ def cmd_dsec_infer(args) -> int:
 
     from ..config import load_yaml, propagate_config
     from ..data import DsecSequence
-    from ..training import TrajectoryNetConfig, TrajectoryModel, predict_flow
+    from ..training import TrajectoryNetConfig, predict_flow
     from ..training.trajectory_net import TrainState
     from ..training.checkpoint import extract_model_weights, torch_unet_to_flax
     from ..utils import save_flow_png, scale_optical_flow
@@ -253,7 +253,6 @@ def cmd_traj_train(args) -> int:
     import jax.numpy as jnp
 
     from ..config import compose
-    from ..data.collate import collate_fixed_capacity
     from ..data.evimo2 import Evimo2Datasubset
     from ..data.loader import DataLoader
     from ..losses import make_loss

@@ -27,7 +27,7 @@ from typing import Callable, Dict, List, Optional
 
 import numpy as np
 
-from .host_ops import norm_voxel_grid_numpy, voxel_grid_numpy
+from .host_ops import norm_voxel_grid_numpy
 from .keys import BatchKeys as K
 from .keys import DataSetType
 

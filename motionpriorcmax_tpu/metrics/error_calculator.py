@@ -7,7 +7,7 @@ best-metric summary hook (log_best handled by training.loop).
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import jax.numpy as jnp
 

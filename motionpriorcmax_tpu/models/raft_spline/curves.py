@@ -20,11 +20,10 @@ Conventions preserved (SURVEY.md §7.4):
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence, Tuple
+from typing import Callable, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ...ops.basis import bernstein_basis
 

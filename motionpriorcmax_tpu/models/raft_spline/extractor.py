@@ -17,7 +17,7 @@ Architecture (RAFT BasicEncoder): conv7x7/2 -> 2 res blocks @64 -> 2 @96 /2
 
 from __future__ import annotations
 
-from typing import List, Sequence, Union
+from typing import Sequence, Union
 
 import jax.numpy as jnp
 from flax import linen as nn

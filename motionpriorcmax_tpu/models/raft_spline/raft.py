@@ -29,8 +29,7 @@ from flax import linen as nn
 
 from ..basis_mlp import BasisMLP
 from .corr import build_corr_pyramid, compute_corr_volume, lookup_corr_pyramid
-from .curves import coords_grid, curve_flow_from_reference, curve_params_init, \
-    cvx_upsample
+from .curves import coords_grid, curve_params_init, cvx_upsample
 from .extractor import BasicEncoder
 from .update import BasicUpdateBlock
 

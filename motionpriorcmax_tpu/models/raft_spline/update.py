@@ -14,7 +14,6 @@ NHWC internally, NCHW at the interface.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 

@@ -15,8 +15,7 @@ Numerically identical to the unsharded loss up to float reduction order
 
 from __future__ import annotations
 
-import functools
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -24,7 +23,6 @@ from jax.sharding import PartitionSpec as P
 
 from ..losses.focus import (FocusLossConfig, calculate_smooth_loss,
                             interpolate_flow, make_iwes, warp_events)
-from ..losses import focus as focus_mod
 from ..ops import gradients as grad_ops
 
 

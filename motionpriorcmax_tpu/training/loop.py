@@ -68,13 +68,10 @@ def make_flow_render_fn(state, cfg: TrajectoryNetConfig,
     predicted flow, GT flow, and the GT-flow-warped IWE sanity image
     (reference src/utils/logging.py:53-120).
     """
-    import dataclasses
-
     import jax.numpy as jnp
 
     from ..losses import focus_loss
     from ..ops.events import iwe_bilinear_vote_batch, gaussian_blur_3x3
-    from ..ops.grids import tile_mask_positions
     from .trajectory_net import _step, predict_flow
 
     def render(batch):

@@ -18,7 +18,7 @@ Optimizer: AdamW(lr, weight_decay) + optional OneCycle linear schedule
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp

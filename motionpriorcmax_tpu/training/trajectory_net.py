@@ -21,7 +21,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
-from flax import struct
 from flax.training import train_state
 
 from ..losses import FocusLossConfig, focus_loss, get_reconstruction_times
