@@ -66,7 +66,7 @@ def cmd_flow_train(args) -> int:
     out = train_flow(cfg, loss_cfg, train_loader, val_loader, workdir,
                      max_epochs=config.get("trainer", {}).get("max_epochs", 100),
                      num_pos_events=pos_capacity if pab else -1,
-                     resume_state=resume_state)
+                     resume_state=resume_state, log_every=args.log_every)
     print(f"done: best={out['best']:.4f} steps={out['steps']}")
     return 0
 
@@ -367,6 +367,7 @@ def main(argv=None) -> int:
     p.add_argument("--workdir", default=None)
     p.add_argument("--ckp_path", default=None)
     p.add_argument("--event-capacity", type=int, default=1 << 20)
+    p.add_argument("--log-every", type=int, default=200)
     p.set_defaults(fn=cmd_flow_train)
 
     p = sub.add_parser("dsec-infer", help="DSEC benchmark PNG inference")
