@@ -54,6 +54,34 @@ def main():
     print(json.dumps({"metric": "raft_spline_valstep_ms",
                       "value": round(dt * 1e3, 1), "batch": b}))
 
+    # Self-supervised training step (12 iters + CMax + backward + AdamW).
+    from ..losses import FocusLossConfig
+    from ..training.raft_spline import raft_train_step
+
+    loss_cfg = FocusLossConfig(
+        image_shape=(h, w), num_bins=41, num_knn=32, smooth_weight=0.06,
+        smooth_type="on_flow_to_next", polarity_aware_batching=False,
+        knn_method="softmax", knn_block_size=512)
+    m_ev = 1 << 19
+    t = rng.uniform(0, 1, (b, m_ev))
+    bins = np.clip((t * 41).astype(np.int32), 0, 40).astype(np.float32)
+    events = jnp.asarray(np.stack([
+        rng.uniform(0, h - 1, (b, m_ev)), rng.uniform(0, w - 1, (b, m_ev)),
+        t, rng.integers(0, 2, (b, m_ev)).astype(np.float32), bins,
+        np.ones((b, m_ev))], -1).astype(np.float32))
+    tbatch = {"ev_repr": voxel, "events": events}
+    tstep = jax.jit(functools.partial(raft_train_step, cfg=cfg,
+                                      loss_cfg=loss_cfg))
+
+    def run(s):
+        s2, logs = tstep(s, tbatch, jax.random.PRNGKey(3))
+        return logs["train_losses/total"]
+
+    dt, _ = device_timer(run, state, iters=3, warmup=1)
+    print(json.dumps({"metric": "raft_spline_selfsup_trainstep_ms",
+                      "value": round(dt * 1e3, 1), "batch": b,
+                      "events": b * m_ev}))
+
 
 if __name__ == "__main__":
     main()
