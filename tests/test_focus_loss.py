@@ -160,3 +160,19 @@ def test_iwd_interpolation_scheme(rng):
     traj = trajectories_for_flow(np.asarray(times), (2.0, 1.0))
     loss, _, _ = focus_loss(cfg, traj, times, events)
     assert np.isfinite(float(loss))
+
+
+def test_multi_tref_linspace(rng):
+    """num_tref > 1 uses linspace reference times and a multi-tref IWE stack
+    (focus.py:54-55; requires dt-scaling/polarity/next-smooth disabled)."""
+    cfg = make_cfg(num_tref=3, scale_iwe_by_dt=False,
+                   polarity_aware_batching=False)
+    events = jnp.asarray(make_translating_events(rng))
+    times = get_reconstruction_times(cfg, jax.random.PRNGKey(0))
+    assert times.shape == (3 + NBINS,)
+    np.testing.assert_allclose(np.asarray(times[:3]), [0.0, 0.5, 1.0],
+                               atol=1e-6)
+    traj = trajectories_for_flow(np.asarray(times), (2.0, 1.0))
+    loss, _, misc = focus_loss(cfg, traj, times, events)
+    assert misc["iwes"].shape == (1, 3, H, W)
+    assert np.isfinite(float(loss))
