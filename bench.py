@@ -29,7 +29,9 @@ def main():
         TrajectoryNetConfig, create_train_state, train_step)
 
     h, w, nbins = 480, 640, 15
-    batch, m = 2, 1 << 19  # 2 samples x 524288 events
+    # Production operating point: the flow-train CLI pads DSEC windows to a
+    # 2^20 event capacity (cli/main.py --event-capacity default); batch 4.
+    batch, m = 4, 1 << 20
 
     import os
 
