@@ -58,6 +58,11 @@ class RAFTSplineConfig:
     iters: int = 12
     # Freeze BatchNorm during training (reference freeze_bn, raft.py:74-77).
     freeze_bn: bool = False
+    # Rematerialize the scanned iteration in the backward pass: activations
+    # of the 12 refinement iterations are recomputed instead of stored
+    # (jax.checkpoint), trading ~1 extra forward for ~10x less live memory —
+    # required to fit the reference's batch-6 training config on one chip.
+    remat_iters: bool = True
 
     def __post_init__(self):
         assert self.use_events or self.use_boundary_images
@@ -196,8 +201,9 @@ class RAFTSpline(nn.Module):
         # lax.scan shares one compiled iteration body across the 12 steps
         # (the unrolled loop compiles ~iters x slower); nn.scan threads the
         # shared update-block parameters through the loop.
+        scan_body = nn.remat(body, prevent_cse=False) if cfg.remat_iters else body
         scan = nn.scan(
-            body,
+            scan_body,
             variable_broadcast="params",
             split_rngs={"params": False},
             length=iters,
