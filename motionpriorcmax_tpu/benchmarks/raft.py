@@ -1,12 +1,17 @@
 """RAFT-Spline benchmark: steady-state forward at EVIMO2 scale.
 
-Run:  python -m motionpriorcmax_tpu.benchmarks.raft
+Run:  python -m motionpriorcmax_tpu.benchmarks.raft [--batch N] [--train-only]
 Prints JSON lines with forward latency (test mode, 12 iters) and the
 validation-step latency including the metric suite.
+
+--batch probes the per-chip operating point for data-parallel training
+(ROADMAP: reference batch 6 exceeds one v5e's 16 GB; DP over the mesh at
+batch 2-3/chip is the TPU-native answer).
 """
 
 from __future__ import annotations
 
+import argparse
 import functools
 import json
 
@@ -14,6 +19,12 @@ import numpy as np
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--train-only", action="store_true")
+    ap.add_argument("--corr-dtype", default="float32",
+                    choices=("float32", "bfloat16"))
+    args = ap.parse_args()
     import jax
     import jax.numpy as jnp
 
@@ -25,8 +36,9 @@ def main():
     cfg = RAFTSplineConfig(nbins_context=41, nbins_correlation=25,
                            bezier_degree=10,
                            ev_target_indices=(8, 16, 24, 32, 40),
-                           ev_levels=(1, 1, 1, 1, 4), iters=12)
-    h, w, b = 384, 512, 1
+                           ev_levels=(1, 1, 1, 1, 4), iters=12,
+                           corr_dtype=args.corr_dtype)
+    h, w, b = 384, 512, args.batch
     rng = np.random.default_rng(0)
     voxel = jnp.asarray(rng.normal(size=(b, cfg.nbins_total, h, w))
                         .astype(np.float32))
@@ -36,23 +48,25 @@ def main():
     model = RAFTSpline(cfg)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 
-    fwd = jax.jit(lambda va, v: model.apply(va, v, test_mode=True))
-    dt, _ = device_timer(fwd, variables, voxel, iters=5, warmup=1)
-    print(json.dumps({"metric": "raft_spline_fwd_12it_evimo2_ms",
-                      "value": round(dt * 1e3, 1), "batch": b}))
+    if not args.train_only:
+        fwd = jax.jit(lambda va, v: model.apply(va, v, test_mode=True))
+        dt, _ = device_timer(fwd, variables, voxel, iters=5, warmup=1)
+        print(json.dumps({"metric": "raft_spline_fwd_12it_evimo2_ms",
+                          "value": round(dt * 1e3, 1), "batch": b}))
 
-    m = 6
-    batch = {
-        "ev_repr": voxel,
-        "flow": jnp.asarray(rng.normal(size=(b, m, 2, h, w)).astype(np.float32)),
-        "flow_valid": jnp.asarray(rng.uniform(size=(b, m, h, w)) > 0.3),
-    }
-    ts = tuple(np.linspace(0, 1, m + 1)[1:].tolist())
-    step = jax.jit(functools.partial(raft_validation_step, cfg=cfg,
-                                     flow_timestamps=ts))
-    dt, _ = device_timer(step, state, batch, iters=3, warmup=1)
-    print(json.dumps({"metric": "raft_spline_valstep_ms",
-                      "value": round(dt * 1e3, 1), "batch": b}))
+        m = 6
+        batch = {
+            "ev_repr": voxel,
+            "flow": jnp.asarray(rng.normal(size=(b, m, 2, h, w))
+                                .astype(np.float32)),
+            "flow_valid": jnp.asarray(rng.uniform(size=(b, m, h, w)) > 0.3),
+        }
+        ts = tuple(np.linspace(0, 1, m + 1)[1:].tolist())
+        step = jax.jit(functools.partial(raft_validation_step, cfg=cfg,
+                                         flow_timestamps=ts))
+        dt, _ = device_timer(step, state, batch, iters=3, warmup=1)
+        print(json.dumps({"metric": "raft_spline_valstep_ms",
+                          "value": round(dt * 1e3, 1), "batch": b}))
 
     # Self-supervised training step (12 iters + CMax + backward + AdamW).
     from ..losses import FocusLossConfig
@@ -80,7 +94,7 @@ def main():
     dt, _ = device_timer(run, state, iters=3, warmup=1)
     print(json.dumps({"metric": "raft_spline_selfsup_trainstep_ms",
                       "value": round(dt * 1e3, 1), "batch": b,
-                      "events": b * m_ev}))
+                      "events": b * m_ev, "corr_dtype": args.corr_dtype}))
 
 
 if __name__ == "__main__":

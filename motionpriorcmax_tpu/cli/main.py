@@ -43,6 +43,7 @@ def cmd_flow_train(args) -> int:
 
     capacity = args.event_capacity
     pos_capacity = capacity // 2 if pab else None
+    buckets = args.event_capacity_buckets
 
     def make_loader(split, shuffle):
         provider = DsecDatasetProvider(
@@ -51,7 +52,8 @@ def cmd_flow_train(args) -> int:
         return DataLoader(provider, batch_size=dc["batch_size"],
                           capacity=capacity, shuffle=shuffle,
                           num_workers=dc.get("num_workers", 8),
-                          polarity_aware=pab, pos_capacity=pos_capacity)
+                          polarity_aware=pab, pos_capacity=pos_capacity,
+                          capacity_buckets=buckets)
 
     train_loader = make_loader("train", True)
     val_loader = make_loader("val", False)
@@ -358,6 +360,19 @@ def cmd_extract_weights(args) -> int:
     return 0
 
 
+def _parse_buckets(value: str):
+    try:
+        buckets = tuple(int(b) for b in value.split(","))
+    except ValueError:
+        raise argparse.ArgumentTypeError(
+            f"expected comma-separated integers, got {value!r}")
+    if not buckets or any(b <= 0 for b in buckets) or \
+            list(buckets) != sorted(buckets):
+        raise argparse.ArgumentTypeError(
+            f"buckets must be positive and ascending, got {value!r}")
+    return buckets
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="motionpriorcmax_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -367,6 +382,11 @@ def main(argv=None) -> int:
     p.add_argument("--workdir", default=None)
     p.add_argument("--ckp_path", default=None)
     p.add_argument("--event-capacity", type=int, default=1 << 20)
+    p.add_argument("--event-capacity-buckets", default=None,
+                   type=_parse_buckets,
+                   help="comma-separated ascending capacities; batches pad to "
+                        "the smallest covering bucket (one compile each) "
+                        "instead of always --event-capacity")
     p.add_argument("--log-every", type=int, default=200)
     p.set_defaults(fn=cmd_flow_train)
 

@@ -46,6 +46,7 @@ def collate_fixed_capacity(
     capacity: int,
     polarity_aware: bool = False,
     pos_capacity: Optional[int] = None,
+    capacity_buckets: Optional[Sequence[int]] = None,
 ) -> Dict[str, np.ndarray]:
     """Stack samples into a static-shaped batch dict.
 
@@ -55,6 +56,12 @@ def collate_fixed_capacity(
         'forward_flow' [2,H,W] + 'flow_valid' [H,W], 'timestamp', 'file_index'.
       capacity: static per-sample event capacity (total when polarity_aware).
       pos_capacity: static positive-event capacity (defaults to capacity // 2).
+      capacity_buckets: optional ascending capacities.  When set, the batch is
+        padded to the smallest bucket covering its max per-sample event count
+        (per polarity when polarity_aware, each from `b // 2` sub-buckets)
+        instead of always paying `capacity`.  Shapes stay static *per bucket*,
+        so jit compiles at most len(buckets) variants; sparse windows stop
+        paying full-capacity padding (and full-capacity warp/IWE compute).
 
     Returns:
       batch dict of stacked numpy arrays; 'num_pos_events' is a python int
@@ -62,9 +69,17 @@ def collate_fixed_capacity(
     """
     batch: Dict[str, np.ndarray] = {}
     if polarity_aware:
-        if pos_capacity is None:
+        if capacity_buckets is not None:
+            half = [b // 2 for b in capacity_buckets]
+            pos_capacity = round_up_capacity(
+                max(len(s["pos_events"]) for s in samples), half)
+            neg_capacity = round_up_capacity(
+                max(len(s["neg_events"]) for s in samples), half)
+        elif pos_capacity is None:
             pos_capacity = capacity // 2
-        neg_capacity = capacity - pos_capacity
+            neg_capacity = capacity - pos_capacity
+        else:
+            neg_capacity = capacity - pos_capacity
         ev = [
             np.concatenate([
                 pad_events(s["pos_events"], pos_capacity),
@@ -74,6 +89,9 @@ def collate_fixed_capacity(
         ]
         batch["num_pos_events"] = pos_capacity
     else:
+        if capacity_buckets is not None:
+            capacity = round_up_capacity(
+                max(len(s["events"]) for s in samples), capacity_buckets)
         ev = [pad_events(s["events"], capacity) for s in samples]
     batch["events"] = np.stack(ev, axis=0)
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
-from typing import Callable, Dict, Iterator, Optional
+from typing import Callable, Dict, Iterator, Optional, Sequence
 
 import numpy as np
 
@@ -29,7 +29,8 @@ class DataLoader:
                  pos_capacity: Optional[int] = None,
                  drop_last: bool = True, seed: int = 0,
                  prefetch: int = 2,
-                 collate_fn: Optional[Callable] = None):
+                 collate_fn: Optional[Callable] = None,
+                 capacity_buckets: Optional[Sequence[int]] = None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.capacity = capacity
@@ -42,7 +43,8 @@ class DataLoader:
         self.prefetch = prefetch
         self.collate_fn = collate_fn or (
             lambda samples: collate_fixed_capacity(
-                samples, capacity, polarity_aware, pos_capacity))
+                samples, capacity, polarity_aware, pos_capacity,
+                capacity_buckets=capacity_buckets))
         self._epoch = 0
 
     def __len__(self) -> int:

@@ -61,6 +61,11 @@ class FocusLossConfig:
     # default, focus.py:90) or 'variance' (utils/loss.py:6-16; exercised by
     # BASELINE.json config 2).
     loss_type: str = "gradient_magnitude"
+    # Epsilon added to the sharpness before the reciprocal.  The reference
+    # has none (src/utils/loss.py:12): an empty event window gives inf loss /
+    # NaN grads.  > 0 bounds the loss at 1/eps (DIVERGENCES.md item 3);
+    # default 0 for exact reference parity.
+    focus_loss_epsilon: float = 0.0
     # TPU tiling knobs (no reference analog): queries per KNN block, and the
     # KNN reduction method:
     #   'exact'   sort-based top_k — bit-equivalent to KeOps argKmin
@@ -445,7 +450,8 @@ def focus_loss(
         iwes = make_iwes(cfg, warped, t_ref, num_pos_events)
 
     focus = grad_ops.focus_objective(iwes, loss_type=cfg.loss_type,
-                                     norm=cfg.focus_loss_norm)
+                                     norm=cfg.focus_loss_norm,
+                                     epsilon=cfg.focus_loss_epsilon)
     smooth = calculate_smooth_loss(cfg, flow_lut, flow_to_next)
     loss = focus + smooth
 

@@ -63,6 +63,12 @@ class RAFTSplineConfig:
     # (jax.checkpoint), trading ~1 extra forward for ~10x less live memory —
     # required to fit the reference's batch-6 training config on one chip.
     remat_iters: bool = True
+    # Storage dtype of the correlation pyramid ('float32' | 'bfloat16').
+    # The dot products are always accumulated in f32 on the MXU; bfloat16
+    # only affects the stored volumes and the window gathers — the largest
+    # training-memory objects ([T, B, h1*w1, h2, w2]) — halving them.  The
+    # looked-up features are cast back to f32 before the update block.
+    corr_dtype: str = "float32"
 
     def __post_init__(self):
         assert self.use_events or self.use_boundary_images
@@ -162,6 +168,7 @@ class RAFTSpline(nn.Module):
 
         assert context_input is not None
         corr = jnp.concatenate(corr_volumes, axis=0)
+        corr = corr.astype(jnp.dtype(cfg.corr_dtype))
         pyramid = build_corr_pyramid(corr, levels_all)
 
         cnet = self.cnet(context_input, train=train and not cfg.freeze_bn)
@@ -192,7 +199,8 @@ class RAFTSpline(nn.Module):
                                   *params_c.shape[2:])
             flows = jnp.einsum("bdphw,tp->tbdhw", pv, basis_mat)
             coords1 = coords0[None] + flows
-            corr_total = lookup_corr_pyramid(pyramid, coords1, cfg.radius)
+            corr_total = lookup_corr_pyramid(pyramid, coords1,
+                                             cfg.radius).astype(jnp.float32)
             net_c, up_mask, delta = mdl.update_block(net_c, inp, corr_total,
                                                      params_c)
             params_c = params_c + delta

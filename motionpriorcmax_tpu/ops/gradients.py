@@ -65,15 +65,21 @@ def image_variance(iwes: jnp.ndarray) -> jnp.ndarray:
 
 
 def focus_objective(iwes: jnp.ndarray, loss_type: str = "gradient_magnitude",
-                    norm: str = "l2") -> jnp.ndarray:
-    """loss = 1 / sharpness.  Reference: src/utils/loss.py:4-12."""
+                    norm: str = "l2", epsilon: float = 0.0) -> jnp.ndarray:
+    """loss = 1 / (sharpness + epsilon).  Reference: src/utils/loss.py:4-12.
+
+    The reference has no epsilon: an empty event window (all-zero IWE) yields
+    an inf loss and NaN gradients.  epsilon > 0 bounds the loss at 1/epsilon
+    with zero gradient there, so degenerate windows in a batch can't poison
+    the step (DIVERGENCES.md item 3; off by default for exact parity).
+    """
     if loss_type == "variance":
         val = image_variance(iwes)
     elif loss_type == "gradient_magnitude":
         val = gradient_magnitude(iwes, norm=norm)
     else:
         raise ValueError(f"unknown loss_type {loss_type!r}")
-    return 1.0 / val
+    return 1.0 / (val + epsilon)
 
 
 def charbonnier(x: jnp.ndarray, epsilon: float = 1e-3) -> jnp.ndarray:

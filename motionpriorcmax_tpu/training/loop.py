@@ -149,11 +149,21 @@ def train_flow(
     state = resume_state or create_train_state(cfg, jax.random.PRNGKey(seed))
     state = replicate(mesh, state)
 
-    step_fn = make_sharded_train_step(
-        functools.partial(train_step, cfg=cfg, loss_cfg=loss_cfg,
-                          num_pos_events=num_pos_events), mesh)
-    eval_fn = jax.jit(functools.partial(eval_step, cfg=cfg, loss_cfg=loss_cfg,
-                                        num_pos_events=num_pos_events))
+    # One compiled step per (num_pos_events, event-capacity) combination:
+    # bucketed collate (collate.py capacity_buckets) varies both, and jit
+    # caches per shape — so at most len(buckets) compilations, keyed here on
+    # the static num_pos_events.
+    @functools.lru_cache(maxsize=None)
+    def step_for(npos):
+        return make_sharded_train_step(
+            functools.partial(train_step, cfg=cfg, loss_cfg=loss_cfg,
+                              num_pos_events=npos), mesh)
+
+    @functools.lru_cache(maxsize=None)
+    def eval_for(npos):
+        return jax.jit(functools.partial(eval_step, cfg=cfg,
+                                         loss_cfg=loss_cfg,
+                                         num_pos_events=npos))
 
     best = float("inf")
     key = jax.random.PRNGKey(seed + 1)
@@ -163,7 +173,9 @@ def train_flow(
     for epoch in range(max_epochs):
         for batch in train_loader:
             key, sub = jax.random.split(key)
-            state, logs = step_fn(state, shard_batch(mesh, batch), sub)
+            batch = dict(batch)
+            npos = batch.pop("num_pos_events", num_pos_events)
+            state, logs = step_for(npos)(state, shard_batch(mesh, batch), sub)
             step += 1
             if step % log_every == 0:
                 scalars = {k: float(v) for k, v in logs.items()}
@@ -188,7 +200,8 @@ def train_flow(
                 vb = dict(batch)
                 if "forward_flow" in vb:
                     vb["gt_flow"] = vb.pop("forward_flow")
-                logs = eval_fn(state, shard_batch(mesh, vb), sub)
+                npos = vb.pop("num_pos_events", num_pos_events)
+                logs = eval_for(npos)(state, shard_batch(mesh, vb), sub)
                 bank.update({k: float(v) for k, v in logs.items()})
             val = bank.compute()
             logger.log(step, val)

@@ -124,3 +124,34 @@ def test_round_up_capacity():
     assert round_up_capacity(10, buckets) == 1024
     assert round_up_capacity(2000, buckets) == 4096
     assert round_up_capacity(10**6, buckets) == 16384
+
+
+def test_collate_capacity_buckets():
+    rng = np.random.default_rng(2)
+    mk = lambda n: rng.uniform(size=(n, 5)).astype(np.float32)
+    buckets = (64, 256, 1024)
+
+    # Batch max (200) picks the 256 bucket, not full capacity.
+    batch = collate_fixed_capacity([{"events": mk(200)}, {"events": mk(30)}],
+                                   capacity=1024, capacity_buckets=buckets)
+    assert batch["events"].shape == (2, 256, 6)
+    assert batch["events"][0, :, 5].sum() == 200
+    assert batch["events"][1, :, 5].sum() == 30
+
+    # Overflow beyond the last bucket tail-truncates (pad_events contract).
+    batch = collate_fixed_capacity([{"events": mk(3000)}], capacity=1024,
+                                   capacity_buckets=buckets)
+    assert batch["events"].shape == (1, 1024, 6)
+    assert batch["events"][0, :, 5].sum() == 1024
+
+    # Polarity-aware: per-polarity sub-buckets (b // 2), positives first.
+    pos = mk(100); pos[:, 3] = 1
+    neg = mk(20); neg[:, 3] = 0
+    batch = collate_fixed_capacity(
+        [{"pos_events": pos, "neg_events": neg}], capacity=1024,
+        polarity_aware=True, capacity_buckets=buckets)
+    assert batch["num_pos_events"] == 128          # round_up(100, b//2)
+    ev = batch["events"][0]
+    assert ev.shape == (128 + 32, 6)               # pos 128 + neg 32 buckets
+    assert (ev[:100, 3] == 1).all() and ev[100:128, 5].sum() == 0
+    assert (ev[128:148, 5] == 1).all() and (ev[128:148, 3] == 0).all()

@@ -162,6 +162,32 @@ def test_iwd_interpolation_scheme(rng):
     assert np.isfinite(float(loss))
 
 
+def test_focus_loss_epsilon_guards_empty_window(rng):
+    """All-invalid events -> zero IWE -> inf loss in the reference
+    (src/utils/loss.py:12, replicated at epsilon=0); focus_loss_epsilon > 0
+    bounds the loss at 1/eps with finite gradients (DIVERGENCES.md item 3)."""
+    ev = make_translating_events(rng, m=128)
+    ev[..., 5] = 0.0  # every event padding
+    times = jnp.concatenate([jnp.asarray([0.5]),
+                             jnp.asarray((np.arange(NBINS) + 0.5) / NBINS)])
+    traj = trajectories_for_flow(np.asarray(times), (2.0, 2.0))
+
+    loss_ref, _, _ = focus_loss(make_cfg(), traj, times, jnp.asarray(ev))
+    assert np.isinf(float(loss_ref))
+
+    cfg = make_cfg(focus_loss_epsilon=1e-3)
+    loss, _, _ = focus_loss(cfg, traj, times, jnp.asarray(ev))
+    np.testing.assert_allclose(float(loss), 1e3, rtol=1e-4)
+    g = jax.grad(lambda t: focus_loss(cfg, t, times, jnp.asarray(ev))[0])(traj)
+    assert np.isfinite(np.asarray(g)).all()
+
+    # With real events the guard is a no-op at this magnitude.
+    ev2 = jnp.asarray(make_translating_events(rng))
+    l_a, _, _ = focus_loss(make_cfg(), traj, times, ev2)
+    l_b, _, _ = focus_loss(cfg, traj, times, ev2)
+    np.testing.assert_allclose(float(l_a), float(l_b), rtol=2e-2)
+
+
 def test_multi_tref_linspace(rng):
     """num_tref > 1 uses linspace reference times and a multi-tref IWE stack
     (focus.py:54-55; requires dt-scaling/polarity/next-smooth disabled)."""

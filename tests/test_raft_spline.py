@@ -118,6 +118,26 @@ def test_raft_spline_forward(curve_type):
     assert len(preds) == 2 and preds[0].shape == (1, 4, 32, 32)
 
 
+def test_raft_spline_bf16_corr_close_to_f32():
+    """corr_dtype='bfloat16' halves the stored pyramid; predictions must stay
+    close to the f32 path (dot products still accumulate in f32)."""
+    kw = dict(nbins_context=5, nbins_correlation=3, bezier_degree=2,
+              ev_target_indices=(2, 4), ev_levels=(1, 2), iters=2)
+    voxel = jnp.asarray(
+        np.random.default_rng(0).normal(size=(1, 8 - 1, 32, 32))
+        .astype(np.float32))
+    cfg32 = RAFTSplineConfig(**kw)
+    model32 = RAFTSpline(cfg32)
+    variables = model32.init(jax.random.PRNGKey(0), voxel, test_mode=True)
+    _, up32 = model32.apply(variables, voxel, test_mode=True)
+
+    model16 = RAFTSpline(RAFTSplineConfig(corr_dtype="bfloat16", **kw))
+    _, up16 = model16.apply(variables, voxel, test_mode=True)
+    err = float(jnp.max(jnp.abs(up16 - up32)))
+    scale = float(jnp.max(jnp.abs(up32))) + 1e-6
+    assert err / scale < 0.05, (err, scale)
+
+
 def test_raft_spline_with_images():
     cfg = RAFTSplineConfig(
         nbins_context=5, nbins_correlation=3, bezier_degree=1,

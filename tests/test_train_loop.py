@@ -68,3 +68,34 @@ def test_train_flow_smoke(tmp_path, rng):
     assert "train_losses/total" in log
     # A checkpoint was written.
     assert any((tmp_path / "run" / "checkpoints").iterdir())
+
+
+@pytest.mark.slow
+def test_train_flow_bucketed_capacities(tmp_path, rng):
+    """Bucketed collate feeds the loop batches of different static event
+    capacities; the per-bucket jit cache (loop.py step_for) must absorb the
+    shape changes within one epoch."""
+    h, w, nbins = 32, 48, 5
+    seq_path = make_synthetic_dsec_sequence(tmp_path / "data")
+    seq = DsecSequence(seq_path, phase="train", num_bins=nbins)
+    ds = _VoxelizingView(seq, nbins, (h, w))
+
+    loader = DataLoader(ds, batch_size=2, capacity=2048, shuffle=True,
+                        num_workers=2, capacity_buckets=(256, 512, 2048))
+    seen = set()
+    for batch in loader:
+        seen.add(batch["events"].shape[1])
+    assert seen <= {256, 512, 2048} and seen
+
+    cfg = TrajectoryNetConfig(image_shape=(h, w), num_bins=nbins,
+                              num_basis=1, patch_size=4)
+    loss_cfg = FocusLossConfig(
+        image_shape=(h, w), num_bins=nbins, num_knn=4,
+        polarity_aware_batching=False, knn_block_size=64)
+
+    from motionpriorcmax_tpu.parallel import make_mesh
+
+    out = train_flow(cfg, loss_cfg, loader, None, str(tmp_path / "run"),
+                     max_epochs=1, log_every=1,
+                     mesh=make_mesh(data=2, event=1))
+    assert out["steps"] >= 1
