@@ -24,6 +24,7 @@ def main():
     ap.add_argument("--train-only", action="store_true")
     ap.add_argument("--corr-dtype", default="float32",
                     choices=("float32", "bfloat16"))
+    ap.add_argument("--remat-encoders", action="store_true")
     args = ap.parse_args()
     import jax
     import jax.numpy as jnp
@@ -37,7 +38,8 @@ def main():
                            bezier_degree=10,
                            ev_target_indices=(8, 16, 24, 32, 40),
                            ev_levels=(1, 1, 1, 1, 4), iters=12,
-                           corr_dtype=args.corr_dtype)
+                           corr_dtype=args.corr_dtype,
+                           remat_encoders=args.remat_encoders)
     h, w, b = 384, 512, args.batch
     rng = np.random.default_rng(0)
     voxel = jnp.asarray(rng.normal(size=(b, cfg.nbins_total, h, w))

@@ -13,8 +13,13 @@ from .collate import pad_events, collate_fixed_capacity
 from .dsec import DsecSequence, DsecDatasetProvider, TRAIN_SEQS, VAL_SEQS
 from .evimo2 import Evimo2Datasubset, Evimo2Provider
 from .multiflow import MultiflowDatasubset, MultiflowProvider, MultiflowSample
+from .augment import (SpatialAugmentor, PhotometricAugmentor,
+                      MultiflowAugmentor)
 
 __all__ = [
+    "SpatialAugmentor",
+    "PhotometricAugmentor",
+    "MultiflowAugmentor",
     "DataSetType",
     "BatchKeys",
     "pad_events",

@@ -63,6 +63,11 @@ class RAFTSplineConfig:
     # (jax.checkpoint), trading ~1 extra forward for ~10x less live memory —
     # required to fit the reference's batch-6 training config on one chip.
     remat_iters: bool = True
+    # Rematerialize the feature/context encoders in the backward pass: their
+    # saved conv activations ([6B, h, w, C] for the 6 stacked corr grids) are
+    # the largest training allocations once the iteration loop is remat'ed —
+    # recompute them for ~1 extra encoder forward.
+    remat_encoders: bool = False
     # Storage dtype of the correlation pyramid ('float32' | 'bfloat16').
     # The dot products are always accumulated in f32 on the MXU; bfloat16
     # only affects the stored volumes and the window gathers — the largest
@@ -94,17 +99,21 @@ class RAFTSpline(nn.Module):
 
     def setup(self):
         cfg = self.cfg
+        # static_argnums=(2,): the positional `train` flag drives python
+        # control flow (norm selection) and must stay a trace-time constant.
+        enc = (nn.remat(BasicEncoder, static_argnums=(2,), prevent_cse=False)
+               if cfg.remat_encoders else BasicEncoder)
         context_in = 0
         if cfg.use_events:
-            self.fnet_ev = BasicEncoder(output_dim=cfg.feature_dim,
-                                        norm_fn=cfg.feature_norm)
+            self.fnet_ev = enc(output_dim=cfg.feature_dim,
+                               norm_fn=cfg.feature_norm)
             context_in += cfg.nbins_context
         if cfg.use_boundary_images:
-            self.fnet_img = BasicEncoder(output_dim=cfg.feature_dim,
-                                         norm_fn=cfg.feature_norm)
+            self.fnet_img = enc(output_dim=cfg.feature_dim,
+                                norm_fn=cfg.feature_norm)
             context_in += 3
-        self.cnet = BasicEncoder(output_dim=cfg.hidden_dim + cfg.context_dim,
-                                 norm_fn=cfg.context_norm)
+        self.cnet = enc(output_dim=cfg.hidden_dim + cfg.context_dim,
+                        norm_fn=cfg.context_norm)
         self.update_block = BasicUpdateBlock(param_dim=cfg.param_dim,
                                              hidden_dim=cfg.hidden_dim,
                                              motion_dim=cfg.motion_dim)
@@ -147,7 +156,7 @@ class RAFTSpline(nn.Module):
         if cfg.use_events:
             assert voxel_grid is not None
             corr_grids, context_input = self.gen_voxel_grids(voxel_grid)
-            fmaps = self.fnet_ev(corr_grids, train=train and not cfg.freeze_bn)
+            fmaps = self.fnet_ev(corr_grids, train and not cfg.freeze_bn)
             fmaps = [f.astype(jnp.float32) for f in fmaps]
             fmap1 = fmaps[0]
             fmap2 = jnp.stack(fmaps[1:], axis=0)
@@ -159,7 +168,7 @@ class RAFTSpline(nn.Module):
         if cfg.use_boundary_images:
             assert images is not None and len(images) == 2
             imgs = [2.0 * (im.astype(jnp.float32) / 255.0) - 1.0 for im in images]
-            fm = self.fnet_img(imgs, train=train and not cfg.freeze_bn)
+            fm = self.fnet_img(imgs, train and not cfg.freeze_bn)
             corr_volumes.append(compute_corr_volume(fm[0], fm[1][None]))
             levels_all.append(cfg.img_levels)
             lookup_ts.append(1.0)
@@ -171,7 +180,7 @@ class RAFTSpline(nn.Module):
         corr = corr.astype(jnp.dtype(cfg.corr_dtype))
         pyramid = build_corr_pyramid(corr, levels_all)
 
-        cnet = self.cnet(context_input, train=train and not cfg.freeze_bn)
+        cnet = self.cnet(context_input, train and not cfg.freeze_bn)
         net = jnp.tanh(cnet[:, :cfg.hidden_dim])
         inp = jax.nn.relu(cnet[:, cfg.hidden_dim:])
 

@@ -42,6 +42,11 @@ class RAFTTrainConfig:
     use_scheduler: bool = True
     total_steps: int = 100000
     pct_start: float = 0.05
+    # Gradient accumulation (optax.MultiSteps): apply the optimizer every N
+    # train steps, averaging gradients in between.  N microbatches of size
+    # B == one update at effective batch N*B — the single-chip route to the
+    # reference's batch-6 config (batch 3 fits one v5e; see ROADMAP ladder).
+    accumulate_steps: int = 1
 
 
 class RAFTTrainState(train_state.TrainState):
@@ -54,14 +59,18 @@ def make_optimizer(tc: RAFTTrainConfig):
     import optax
 
     if not tc.use_scheduler:
-        return optax.adamw(tc.learning_rate, weight_decay=tc.weight_decay)
-    sched = optax.linear_onecycle_schedule(
-        transition_steps=tc.total_steps + 100,
-        peak_value=tc.learning_rate,
-        pct_start=tc.pct_start,
-        pct_final=1.0,
-    )
-    return optax.adamw(sched, weight_decay=tc.weight_decay)
+        tx = optax.adamw(tc.learning_rate, weight_decay=tc.weight_decay)
+    else:
+        sched = optax.linear_onecycle_schedule(
+            transition_steps=tc.total_steps + 100,
+            peak_value=tc.learning_rate,
+            pct_start=tc.pct_start,
+            pct_final=1.0,
+        )
+        tx = optax.adamw(sched, weight_decay=tc.weight_decay)
+    if tc.accumulate_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=tc.accumulate_steps)
+    return tx
 
 
 def create_raft_state(cfg: RAFTSplineConfig, tc: RAFTTrainConfig,
@@ -190,12 +199,15 @@ def raft_train_step(state: RAFTTrainState, batch: Dict[str, jnp.ndarray],
     times = get_reconstruction_times(loss_cfg, rng)
 
     def loss_fn(params):
-        preds, new_bs = _forward(cfg, params, state.batch_stats,
-                                 batch["ev_repr"], batch.get("img"),
-                                 test_mode=False, train=True)
         # Supervise the final prediction (sum over iterations would mirror
-        # RAFT's gamma-weighted loss; final-only keeps compile light).
-        params_up = preds[-1]
+        # RAFT's gamma-weighted loss).  test_mode=True upsamples ONLY the
+        # last iteration: the train-mode all-iterations return stacks
+        # [iters, B, 2*deg, H, W] at full resolution, and the backward of
+        # "take the last" materializes a zero-padded copy of that whole
+        # stack — a measured 9 GB HLO temp at batch 6 / EVIMO2 scale.
+        (_, params_up), new_bs = _forward(cfg, params, state.batch_stats,
+                                          batch["ev_repr"], batch.get("img"),
+                                          test_mode=True, train=True)
         s = loss_cfg.lut_superpixel_size
         off = s // 2
         sel = params_up[:, :, off::s, off::s]              # [B, 2*deg, Hn, Wn]

@@ -118,6 +118,39 @@ def test_raft_spline_forward(curve_type):
     assert len(preds) == 2 and preds[0].shape == (1, 4, 32, 32)
 
 
+def test_raft_spline_remat_encoders_same_forward():
+    """remat_encoders changes memory scheduling only — identical params tree
+    and (numerically identical) outputs."""
+    kw = dict(nbins_context=5, nbins_correlation=3, bezier_degree=2,
+              ev_target_indices=(2, 4), ev_levels=(1, 2), iters=2)
+    voxel = jnp.asarray(
+        np.random.default_rng(0).normal(size=(1, 7, 32, 32))
+        .astype(np.float32))
+    base = RAFTSpline(RAFTSplineConfig(**kw))
+    variables = base.init(jax.random.PRNGKey(0), voxel, test_mode=True)
+    _, up = base.apply(variables, voxel, test_mode=True)
+
+    rm = RAFTSpline(RAFTSplineConfig(remat_encoders=True, **kw))
+    vars_rm = rm.init(jax.random.PRNGKey(0), voxel, test_mode=True)
+    assert (jax.tree_util.tree_structure(vars_rm["params"])
+            == jax.tree_util.tree_structure(variables["params"]))
+    _, up_rm = rm.apply(variables, voxel, test_mode=True)
+    np.testing.assert_allclose(np.asarray(up_rm), np.asarray(up), atol=1e-5)
+
+    # Gradients flow (training path with mutable batch stats).
+    def loss(params):
+        preds = rm.apply({"params": params,
+                          "batch_stats": variables.get("batch_stats", {})},
+                         voxel, test_mode=False, train=True,
+                         mutable=["batch_stats"])[0]
+        return jnp.sum(preds[-1] ** 2)
+
+    g = jax.grad(loss)(variables["params"])
+    assert np.isfinite(
+        float(jax.tree_util.tree_reduce(
+            lambda a, b: a + jnp.sum(jnp.abs(b)), g, 0.0)))
+
+
 def test_raft_spline_bf16_corr_close_to_f32():
     """corr_dtype='bfloat16' halves the stored pyramid; predictions must stay
     close to the f32 path (dot products still accumulate in f32)."""

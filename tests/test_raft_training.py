@@ -71,6 +71,46 @@ def test_raft_train_step_updates_params(rng):
     assert not np.allclose(np.asarray(a), np.asarray(bb))
 
 
+def test_raft_train_gradient_accumulation(rng):
+    """accumulate_steps=2: params frozen after the 1st microbatch, updated
+    with the averaged gradient after the 2nd (single-chip effective batch
+    2x without the memory)."""
+    cfg = tiny_cfg()
+    tc = RAFTTrainConfig(use_scheduler=False, learning_rate=1e-3,
+                         accumulate_steps=2)
+    state = create_raft_state(cfg, tc, jax.random.PRNGKey(0), (H, W))
+    loss_cfg = FocusLossConfig(
+        image_shape=(H, W), num_tref=1, num_bins=5, num_knn=4,
+        smooth_weight=0.01, lut_superpixel_size=4,
+        polarity_aware_batching=False, knn_block_size=64)
+
+    def mk_batch(seed):
+        r = np.random.default_rng(seed)
+        m_ev = 256
+        t = r.uniform(0, 1, (1, m_ev))
+        ev = np.stack([r.uniform(0, H - 1, (1, m_ev)),
+                       r.uniform(0, W - 1, (1, m_ev)), t,
+                       r.integers(0, 2, (1, m_ev)).astype(np.float32),
+                       np.clip((t * 5).astype(np.int32), 0, 4),
+                       np.ones((1, m_ev))], -1).astype(np.float32)
+        return {"ev_repr": jnp.asarray(
+                    r.normal(size=(1, cfg.nbins_total, H, W))
+                    .astype(np.float32)),
+                "events": jnp.asarray(ev)}
+
+    step = jax.jit(functools.partial(raft_train_step, cfg=cfg,
+                                     loss_cfg=loss_cfg))
+    p0 = jax.tree_util.tree_leaves(state.params)[0]
+    state1, _ = step(state, mk_batch(1), jax.random.PRNGKey(1))
+    p1 = jax.tree_util.tree_leaves(state1.params)[0]
+    np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+
+    state2, logs = step(state1, mk_batch(2), jax.random.PRNGKey(2))
+    p2 = jax.tree_util.tree_leaves(state2.params)[0]
+    assert not np.allclose(np.asarray(p1), np.asarray(p2))
+    assert np.isfinite(float(logs["train_losses/total"]))
+
+
 def make_synthetic_evimo2(root, n_events=4000, n_flows=8):
     import h5py
 
