@@ -262,6 +262,7 @@ def cmd_traj_train(args) -> int:
     from ..training.checkpoint import save_checkpoint
     from ..training.loop import ScalarLogger
     from ..training.raft_spline import (RAFTTrainConfig, create_raft_state,
+                                        raft_supervised_train_step,
                                         raft_train_step)
 
     cfg_tree = compose(args.config_dir, args.config_name, args.overrides)
@@ -289,42 +290,73 @@ def cmd_traj_train(args) -> int:
                          total_steps=args.max_steps)
 
     ds = cfg_tree["dataset"]
-    # Training uses the eval dirs' sibling train split when present.
+    supervised = args.loss == "supervised"
     from pathlib import Path as _P
 
-    train_root = _P(ds["path"]) / "imo" / "train"
-    subset_dirs = sorted(train_root.iterdir()) if train_root.is_dir() else []
-    assert subset_dirs, f"no training sequences under {train_root}"
-    subsets = [Evimo2Datasubset(d, cfg.nbins_context, ds["flow_time"],
-                                ds["normalize_voxel_grid"],
-                                provide_raw_events=True,
-                                polarity_aware_batching=pab,
-                                flow_every_n_ms=ds["flow_every_n_ms"])
-               for d in subset_dirs]
+    if ds.get("name") == "multiflow":
+        from ..data.augment import (MultiflowAugmentor, PhotometricAugmentor,
+                                    SpatialAugmentor)
+        from ..data.multiflow import MultiflowDatasubset
 
-    class _Concat:
-        def __init__(self, parts):
-            self.parts = parts
-            self.cum = np.cumsum([0] + [len(p) for p in parts])
+        aug = None
+        if ds.get("spatial_augm") or ds.get("photo_augm"):
+            aug = MultiflowAugmentor(
+                spatial=(SpatialAugmentor(h_flip_prob=0.5)
+                         if ds.get("spatial_augm") else None),
+                photometric=(PhotometricAugmentor()
+                             if ds.get("photo_augm") else None))
+        dataset = MultiflowDatasubset(
+            _P(ds["path"]) / "train", cfg.nbins_context,
+            flow_every_n_ms=ds["flow_every_n_ms"],
+            normalize_voxel_grid=ds["normalize_voxel_grid"],
+            provide_raw_events=not supervised,
+            polarity_aware_batching=pab and not supervised,
+            prediction_time_ms=ds.get("prediction_time", 500),
+            augmentor=aug)
+    else:
+        assert not supervised, "supervised training needs the multiflow " \
+            "dataset (EVIMO2 eval GT is validation-only)"
+        # Training uses the eval dirs' sibling train split when present.
+        train_root = _P(ds["path"]) / "imo" / "train"
+        subset_dirs = (sorted(train_root.iterdir())
+                       if train_root.is_dir() else [])
+        assert subset_dirs, f"no training sequences under {train_root}"
+        subsets = [Evimo2Datasubset(d, cfg.nbins_context, ds["flow_time"],
+                                    ds["normalize_voxel_grid"],
+                                    provide_raw_events=True,
+                                    polarity_aware_batching=pab,
+                                    flow_every_n_ms=ds["flow_every_n_ms"])
+                   for d in subset_dirs]
 
-        def __len__(self):
-            return int(self.cum[-1])
+        class _Concat:
+            def __init__(self, parts):
+                self.parts = parts
+                self.cum = np.cumsum([0] + [len(p) for p in parts])
 
-        def __getitem__(self, i):
-            si = int(np.searchsorted(self.cum, i, "right")) - 1
-            return self.parts[si][i - int(self.cum[si])]
+            def __len__(self):
+                return int(self.cum[-1])
+
+            def __getitem__(self, i):
+                si = int(np.searchsorted(self.cum, i, "right")) - 1
+                return self.parts[si][i - int(self.cum[si])]
+
+        dataset = _Concat(subsets)
 
     capacity = args.event_capacity
+    pab = pab and not supervised
     pos_capacity = capacity // 2 if pab else None
-    loader = DataLoader(_Concat(subsets), batch_size=tcfg["batch_size"],
+    loader = DataLoader(dataset, batch_size=tcfg["batch_size"],
                         capacity=capacity, polarity_aware=pab,
                         pos_capacity=pos_capacity,
                         num_workers=cfg_tree.get("hardware", {}).get("num_workers", 8))
 
     state = create_raft_state(cfg, tc, jax.random.PRNGKey(0), image_hw)
-    step = jax.jit(functools.partial(
-        raft_train_step, cfg=cfg, loss_cfg=loss_cfg,
-        num_pos_events=pos_capacity if pab else -1))
+    if supervised:
+        step = jax.jit(functools.partial(raft_supervised_train_step, cfg=cfg))
+    else:
+        step = jax.jit(functools.partial(
+            raft_train_step, cfg=cfg, loss_cfg=loss_cfg,
+            num_pos_events=pos_capacity if pab else -1))
 
     workdir = args.workdir or f"runs/traj_{datetime.now():%Y%m%d_%H%M%S}"
     logger = ScalarLogger(workdir)
@@ -333,8 +365,14 @@ def cmd_traj_train(args) -> int:
     while n_steps < args.max_steps:
         for batch in loader:
             key, sub = jax.random.split(key)
-            dev_batch = {"ev_repr": jnp.asarray(batch["ev_repr"]),
-                         "events": jnp.asarray(batch["events"])}
+            if supervised:
+                dev_batch = {k: jnp.asarray(batch[k])
+                             for k in ("ev_repr", "flow", "flow_timestamps")}
+                if "flow_valid" in batch:
+                    dev_batch["flow_valid"] = jnp.asarray(batch["flow_valid"])
+            else:
+                dev_batch = {"ev_repr": jnp.asarray(batch["ev_repr"]),
+                             "events": jnp.asarray(batch["events"])}
             state, logs = step(state, dev_batch, sub)
             n_steps += 1
             if n_steps % args.log_every == 0:
@@ -409,6 +447,11 @@ def main(argv=None) -> int:
     p.add_argument("--log-every", type=int, default=100)
     p.add_argument("--ckpt-every", type=int, default=1000)
     p.add_argument("--event-capacity", type=int, default=1 << 20)
+    p.add_argument("--loss", choices=("selfsup", "supervised"),
+                   default="selfsup",
+                   help="selfsup = CMax focus loss on raw events (EVIMO2 or "
+                        "MultiFlow); supervised = gamma-weighted L1 against "
+                        "GT multi-step flow (MultiFlow only)")
     p.add_argument("overrides", nargs="*")
     p.set_defaults(fn=cmd_traj_train)
 

@@ -68,7 +68,11 @@ def collate_fixed_capacity(
       (static — feeds the jit-static argument of the train step).
     """
     batch: Dict[str, np.ndarray] = {}
-    if polarity_aware:
+    if "events" not in samples[0] and "pos_events" not in samples[0]:
+        # Event-free samples (e.g. supervised MultiFlow training needs only
+        # voxels + GT flow): skip the event packing entirely.
+        ev = None
+    elif polarity_aware:
         if capacity_buckets is not None:
             half = [b // 2 for b in capacity_buckets]
             pos_capacity = round_up_capacity(
@@ -93,7 +97,8 @@ def collate_fixed_capacity(
             capacity = round_up_capacity(
                 max(len(s["events"]) for s in samples), capacity_buckets)
         ev = [pad_events(s["events"], capacity) for s in samples]
-    batch["events"] = np.stack(ev, axis=0)
+    if ev is not None:
+        batch["events"] = np.stack(ev, axis=0)
 
     for key in ("voxel", "forward_flow", "flow_valid", "timestamp",
                 "file_index", "ev_repr", "flow", "flow_timestamps", "id_mask"):

@@ -143,7 +143,8 @@ class RAFTSpline(nn.Module):
                  iters: Optional[int] = None,
                  flow_init: Optional[jnp.ndarray] = None,
                  test_mode: bool = False,
-                 train: bool = False):
+                 train: bool = False,
+                 return_sequences: bool = False):
         cfg = self.cfg
         iters = cfg.iters if iters is None else iters
 
@@ -230,6 +231,14 @@ class RAFTSpline(nn.Module):
         if test_mode:
             params_up = cvx_upsample(params_seq[-1], mask_seq[-1])
             return params, params_up
+        if return_sequences:
+            # Raw low-res per-iteration curve params + upsample masks
+            # ([iters, B, 2*deg, h/8, w/8], [iters, B, 576, h/8, w/8]) for
+            # callers that upsample per iteration themselves (e.g. the
+            # supervised train step's checkpointed loss loop) — stacking all
+            # full-res upsampled predictions costs iters x B x 2*deg x H x W
+            # and its backward once materialized a 9 GB padded copy.
+            return params_seq, mask_seq
         # Train mode: one convex-upsampled prediction per iteration
         # (raft.py:187-189), vmapped over the iteration axis.
         ups = jax.vmap(cvx_upsample)(params_seq, mask_seq)

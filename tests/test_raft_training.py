@@ -71,6 +71,39 @@ def test_raft_train_step_updates_params(rng):
     assert not np.allclose(np.asarray(a), np.asarray(bb))
 
 
+def test_raft_supervised_train_step_overfits_batch(rng):
+    """Gamma-weighted supervised step (paper's MultiFlow recipe): loss is
+    finite, params move, and repeating the same batch overfits (loss
+    decreases)."""
+    from motionpriorcmax_tpu.training.raft_spline import (
+        raft_supervised_train_step)
+
+    cfg = tiny_cfg()
+    tc = RAFTTrainConfig(use_scheduler=False, learning_rate=1e-3)
+    state = create_raft_state(cfg, tc, jax.random.PRNGKey(0), (H, W))
+    t_steps = 3
+    batch = {
+        "ev_repr": jnp.asarray(rng.normal(size=(2, cfg.nbins_total, H, W))
+                               .astype(np.float32)),
+        "flow": jnp.asarray(np.broadcast_to(
+            np.asarray([1.5, -0.5], np.float32)[None, None, :, None, None],
+            (2, t_steps, 2, H, W)).copy()),
+        "flow_timestamps": jnp.asarray(np.broadcast_to(
+            np.linspace(0, 1, t_steps + 1)[1:].astype(np.float32),
+            (2, t_steps)).copy()),
+        "flow_valid": jnp.asarray(
+            rng.uniform(size=(2, t_steps, H, W)) > 0.2),
+    }
+    step = jax.jit(functools.partial(raft_supervised_train_step, cfg=cfg))
+    losses = []
+    for i in range(6):
+        state, logs = step(state, batch, jax.random.PRNGKey(i))
+        losses.append(float(logs["train_losses/total"]))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0], losses
+    assert "train_losses/l1_final" in logs
+
+
 def test_raft_train_gradient_accumulation(rng):
     """accumulate_steps=2: params frozen after the 1st microbatch, updated
     with the averaged gradient after the 2nd (single-chip effective batch

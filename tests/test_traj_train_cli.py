@@ -36,3 +36,34 @@ def test_traj_train_smoke(tmp_path):
     log = (tmp_path / "run" / "scalars.jsonl").read_text()
     assert "train_losses/total" in log
     assert any((tmp_path / "run" / "checkpoints").iterdir())
+
+
+@pytest.mark.slow
+def test_traj_train_supervised_multiflow_smoke(tmp_path):
+    """--loss supervised on synthetic MultiFlow: the paper's supervised
+    recipe reaches the CLI end to end (gamma-weighted L1, no raw events)."""
+    from motionpriorcmax_tpu.cli.main import main
+    from tests.test_multiflow import make_synthetic_multiflow
+
+    make_synthetic_multiflow(tmp_path / "mf", split="train")
+
+    rc = main([
+        "traj-train", "--config-dir", "config/trajectory_inference",
+        "--workdir", str(tmp_path / "run"),
+        "--max-steps", "1", "--log-every", "1", "--ckpt-every", "1",
+        "--loss", "supervised",
+        "experiment=raft-spline_multiflow-500ms_supervised",
+        "checkpoint=/unused",
+        f"dataset.path={tmp_path / 'mf'}",
+        "training.batch_size=1",
+        "model.num_iter.train=1",
+        "model.bezier_degree=2",
+        "model.num_bins.context=6",
+        "model.num_bins.correlation=4",   # NBINS_CONTEXT2CORR[6]
+        "model.correlation.ev.target_indices=[2,4]",
+        "model.correlation.ev.levels=[1,2]",
+    ])
+    assert rc == 0
+    log = (tmp_path / "run" / "scalars.jsonl").read_text()
+    assert "train_losses/l1_final" in log
+    assert any((tmp_path / "run" / "checkpoints").iterdir())
