@@ -25,6 +25,9 @@ def main():
     ap.add_argument("--corr-dtype", default="float32",
                     choices=("float32", "bfloat16"))
     ap.add_argument("--remat-encoders", action="store_true")
+    ap.add_argument("--supervised", action="store_true",
+                    help="bench the gamma-weighted supervised MultiFlow "
+                         "train step instead of the self-sup CMax step")
     args = ap.parse_args()
     import jax
     import jax.numpy as jnp
@@ -69,6 +72,32 @@ def main():
         dt, _ = device_timer(step, state, batch, iters=3, warmup=1)
         print(json.dumps({"metric": "raft_spline_valstep_ms",
                           "value": round(dt * 1e3, 1), "batch": b}))
+
+    if args.supervised:
+        # Paper's MultiFlow recipe: gamma-weighted L1 over all iterations.
+        from ..training.raft_spline import raft_supervised_train_step
+
+        t_steps = 5                      # 500 ms / 100 ms GT cadence
+        sbatch = {
+            "ev_repr": voxel,
+            "flow": jnp.asarray(rng.normal(size=(b, t_steps, 2, h, w))
+                                .astype(np.float32)),
+            "flow_timestamps": jnp.asarray(np.broadcast_to(
+                np.linspace(0, 1, t_steps + 1)[1:].astype(np.float32),
+                (b, t_steps)).copy()),
+        }
+        sstep = jax.jit(functools.partial(raft_supervised_train_step,
+                                          cfg=cfg))
+
+        def run_s(s):
+            s2, logs = sstep(s, sbatch, jax.random.PRNGKey(3))
+            return logs["train_losses/total"]
+
+        dt, _ = device_timer(run_s, state, iters=3, warmup=1)
+        print(json.dumps({"metric": "raft_spline_supervised_trainstep_ms",
+                          "value": round(dt * 1e3, 1), "batch": b,
+                          "corr_dtype": args.corr_dtype}))
+        return
 
     # Self-supervised training step (12 iters + CMax + backward + AdamW).
     from ..losses import FocusLossConfig
