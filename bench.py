@@ -38,6 +38,9 @@ def main():
     # Mixed precision by default (bf16 convs on the MXU, f32 params/BN/loss);
     # BENCH_F32=1 forces full f32 for reference-parity timing.
     dtype = "float32" if os.environ.get("BENCH_F32") == "1" else "bfloat16"
+    # BENCH_LUT overrides the flow-LUT superpixel size (reference-native
+    # knob: 8 = 4x fewer interpolation queries than the default 4).
+    lut = int(os.environ.get("BENCH_LUT", "4"))
     cfg = TrajectoryNetConfig(image_shape=(h, w), num_bins=nbins, num_basis=1,
                               patch_size=4, basis_type="polynomial",
                               compute_dtype=dtype)
@@ -46,7 +49,7 @@ def main():
     # KNN on v5e with numerically equivalent smooth-field behavior.
     loss_cfg = FocusLossConfig(
         image_shape=(h, w), num_tref=1, num_bins=nbins, num_knn=32,
-        smooth_weight=0.003, lut_superpixel_size=4, focus_loss_norm="l1",
+        smooth_weight=0.003, lut_superpixel_size=lut, focus_loss_norm="l1",
         dist_norm="l2", scale_iwe_by_dt=True, mask_image_border=True,
         polarity_aware_batching=False, interpolation_scheme="mean",
         knn_block_size=512, knn_method="softmax")

@@ -156,3 +156,135 @@ def torch_unet_to_flax(state_dict: Dict[str, np.ndarray]
     put(params, ("Conv_0", "kernel"), _conv(state_dict["outc.conv.weight"]))
     put(params, ("Conv_0", "bias"), state_dict["outc.conv.bias"])
     return params, stats
+
+
+# -- RAFT-Spline torch checkpoint conversion ---------------------------------
+#
+# The reference's encoder/update internals live in a `parts/` package MISSING
+# from the snapshot (src/models/raft_spline/raft.py:6-7, SURVEY.md C31); the
+# key layout below targets the canonical RAFT/E-RAFT naming that lineage uses
+# (conv1/norm1/layer{1-3}/conv2 encoders; encoder.convc*/gru.convz*/flow_head
+# update block).  Top-level module names ARE pinned by the snapshot:
+# fnet_ev / fnet_img / cnet / update_block (raft.py:58-72).
+
+_ENC_LAYER = {f"layer{l}.{j}": f"ResidualBlock_{2 * (l - 1) + j}"
+              for l in (1, 2, 3) for j in (0, 1)}
+_ENC_CONV = {"conv1": "Conv_0", "conv2": "Conv_1"}
+_BLOCK_CONV = {"conv1": "Conv_0", "conv2": "Conv_1", "downsample.0": "Conv_2"}
+_BLOCK_NORM = {"norm1": "BatchNorm_0", "norm2": "BatchNorm_1",
+               "norm3": "BatchNorm_2"}
+_UPD_CONV = {
+    "encoder.convc1": ("BasicMotionEncoder_0", "Conv_0"),
+    "encoder.convc2": ("BasicMotionEncoder_0", "Conv_1"),
+    "encoder.convf1": ("BasicMotionEncoder_0", "Conv_2"),
+    "encoder.convf2": ("BasicMotionEncoder_0", "Conv_3"),
+    "encoder.conv": ("BasicMotionEncoder_0", "Conv_4"),
+    "gru.convz1": ("SepConvGRU_0", "Conv_0"),
+    "gru.convr1": ("SepConvGRU_0", "Conv_1"),
+    "gru.convq1": ("SepConvGRU_0", "Conv_2"),
+    "gru.convz2": ("SepConvGRU_0", "Conv_3"),
+    "gru.convr2": ("SepConvGRU_0", "Conv_4"),
+    "gru.convq2": ("SepConvGRU_0", "Conv_5"),
+    "flow_head.conv1": ("DeltaHead_0", "Conv_0"),
+    "flow_head.conv2": ("DeltaHead_0", "Conv_1"),
+    "mask.0": ("Conv_0",),
+    "mask.2": ("Conv_1",),
+}
+
+
+def raft_spline_torch_key(path: Tuple[str, ...], leaf: str) -> Optional[str]:
+    """flax param tree path -> expected torch state-dict key (None = no
+    torch analog, e.g. non-affine instance norms)."""
+    top = path[0]
+    if top not in ("fnet_ev", "fnet_img", "cnet", "update_block"):
+        return None
+    suffix = {"kernel": "weight", "scale": "weight", "bias": "bias",
+              "mean": "running_mean", "var": "running_var"}[leaf]
+    if top == "update_block":
+        for torch_mid, flax_mid in _UPD_CONV.items():
+            if tuple(path[1:]) == flax_mid:
+                return f"update_block.{torch_mid}.{suffix}"
+        return None
+    # Encoders.
+    rest = path[1:]
+    if len(rest) == 1:  # top-level conv / norm1
+        name = rest[0]
+        for torch_name, flax_name in _ENC_CONV.items():
+            if name == flax_name:
+                return f"{top}.{torch_name}.{suffix}"
+        if name == "BatchNorm_0":
+            return f"{top}.norm1.{suffix}"
+        return None
+    block, name = rest[0], rest[1]
+    for torch_blk, flax_blk in _ENC_LAYER.items():
+        if block == flax_blk:
+            for torch_name, flax_name in _BLOCK_CONV.items():
+                if name == flax_name:
+                    return f"{top}.{torch_blk}.{torch_name}.{suffix}"
+            for torch_name, flax_name in _BLOCK_NORM.items():
+                if name == flax_name:
+                    return f"{top}.{torch_blk}.{torch_name}.{suffix}"
+    return None
+
+
+def torch_raft_spline_to_flax(state_dict: Dict[str, np.ndarray],
+                              template: Dict[str, Any]) -> Dict[str, Any]:
+    """Canonical RAFT/E-RAFT state_dict -> RAFTSpline flax variables.
+
+    Args:
+      state_dict: torch tensors/arrays keyed fnet_ev.* / cnet.* /
+        update_block.* (+ fnet_img.* when use_boundary_images).
+      template: variables from RAFTSpline.init (pins tree structure +
+        shapes; instance norms have no torch analog and keep template
+        values — they are non-affine, so there is nothing to load).
+
+    Returns:
+      variables dict with converted 'params' / 'batch_stats'.
+
+    Raises:
+      KeyError listing missing torch keys for any flax leaf that expects
+      one (shape mismatches raise ValueError).
+    """
+    import jax
+
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    missing = []
+
+    def convert(collection_name, tree):
+        flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+        out = {}
+        for keypath, val in flat:
+            path = tuple(k.key for k in keypath)
+            torch_key = raft_spline_torch_key(path[:-1], path[-1])
+            if torch_key is None:
+                out[path] = val
+                continue
+            if torch_key not in sd:
+                missing.append(torch_key)
+                out[path] = val
+                continue
+            w = sd[torch_key]
+            if path[-1] == "kernel":
+                w = _conv(w)
+            if tuple(w.shape) != tuple(np.shape(val)):
+                raise ValueError(
+                    f"{torch_key} -> {'/'.join(path)}: shape {w.shape} "
+                    f"!= template {np.shape(val)}")
+            out[path] = w
+        # Rebuild the nested dict.
+        nested: Dict[str, Any] = {}
+        for path, val in out.items():
+            node = nested
+            for p in path[:-1]:
+                node = node.setdefault(p, {})
+            node[path[-1]] = val
+        return nested
+
+    variables = {"params": convert("params", template["params"])}
+    if template.get("batch_stats"):
+        variables["batch_stats"] = convert("batch_stats",
+                                           template["batch_stats"])
+    if missing:
+        raise KeyError(f"missing torch keys: {sorted(set(missing))[:8]}"
+                       f" (+{max(0, len(set(missing)) - 8)} more)")
+    return variables
