@@ -72,6 +72,21 @@ def main():
     dt, _ = device_timer(iwe_grad, coords, wgt, iters=5)
     results["iwe_scatter_fwd_bwd_events_per_s"] = round(b * m / dt, 0)
 
+    # --- IWE as MXU one-hot outer products (the TPU production path) ------
+    iwe_mm = jax.jit(functools.partial(iwe_bilinear_vote_batch, height=h,
+                                       width=w, scatter_impl="matmul"))
+    dt, _ = device_timer(iwe_mm, coords, wgt, iters=5)
+    results["iwe_matmul_events_per_s"] = round(b * m / dt, 0)
+
+    def iwe_mm_loss(c, wg):
+        img = iwe_bilinear_vote_batch(c, wg, height=h, width=w,
+                                      scatter_impl="matmul")
+        return jnp.sum(img * img)
+
+    iwe_mm_grad = jax.jit(jax.grad(iwe_mm_loss))
+    dt, _ = device_timer(iwe_mm_grad, coords, wgt, iters=5)
+    results["iwe_matmul_fwd_bwd_events_per_s"] = round(b * m / dt, 0)
+
     # --- Voxelize on device ----------------------------------------------
     y = jnp.asarray(rng.uniform(0, h - 1, (m,)).astype(np.float32))
     x = jnp.asarray(rng.uniform(0, w - 1, (m,)).astype(np.float32))

@@ -91,6 +91,13 @@ class FocusLossConfig:
     # numerically exact, not an approximation (DSEC caps displacement at
     # 60 px; 120 px default leaves 60 px of slack).  0 disables.
     interp_band_px: float = 120.0
+    # IWE accumulation implementation: 'direct'/'sorted' scatter-add,
+    # 'matmul' = blocked one-hot outer products on the MXU (XLA's scatter is
+    # serialized at ~25 M elem/s on TPU and dominated the train step; the
+    # dense reformulation is the same sum as 2*N*H*W MACs — see
+    # ops/events.py::iwe_bilinear_vote_matmul).  None = auto: 'matmul' on
+    # the TPU backend, 'direct' elsewhere.
+    iwe_impl: Optional[str] = None
 
     # The trajectories handed to `focus_loss` must include pixel offsets
     # (reference TrajectoryLossBase.is_needing_offsets, focus.py:46).
@@ -380,8 +387,13 @@ def make_iwes(cfg: FocusLossConfig, warped: jnp.ndarray, t_ref: jnp.ndarray,
 
     coords = warped[..., :2]
 
+    impl = cfg.iwe_impl
+    if impl is None:
+        impl = "matmul" if jax.default_backend() == "tpu" else "direct"
+
     def vote(c, wgt):
-        return ev_ops.iwe_bilinear_vote_batch(c, wgt, height=h, width=w)
+        return ev_ops.iwe_bilinear_vote_batch(c, wgt, height=h, width=w,
+                                              scatter_impl=impl)
 
     if cfg.polarity_aware_batching:
         assert num_pos_events >= 0, "polarity_aware_batching needs num_pos_events"

@@ -136,3 +136,55 @@ def test_quantile_clamp():
     out = np.asarray(clamp_voxel_grid_quantile(g, 0.1))
     thr = np.quantile(np.abs(np.asarray(g)).ravel(), 0.9)
     assert np.max(np.abs(out)) <= thr + 1e-4
+
+
+def test_iwe_matmul_matches_scatter(rng):
+    """The MXU one-hot outer-product vote must reproduce the scatter vote
+    (incl. fractional coords, out-of-range corners, zero-weight padding)."""
+    import jax
+    import jax.numpy as jnp
+
+    from motionpriorcmax_tpu.ops.events import iwe_bilinear_vote_matmul
+
+    h, w, m = 24, 36, 700
+    coords = rng.uniform(-2, h + 2, (m, 2)).astype(np.float32)
+    coords[:, 1] = rng.uniform(-2, w + 2, m).astype(np.float32)
+    wgt = rng.uniform(0, 2, m).astype(np.float32)
+    wgt[-50:] = 0.0  # padding rows
+
+    want = np.asarray(iwe_bilinear_vote(jnp.asarray(coords),
+                                        jnp.asarray(wgt), height=h, width=w))
+    got32 = np.asarray(iwe_bilinear_vote_matmul(
+        jnp.asarray(coords), jnp.asarray(wgt), height=h, width=w,
+        block_size=128, compute_dtype=jnp.float32))
+    np.testing.assert_allclose(got32, want, atol=1e-4)
+
+    got16 = np.asarray(iwe_bilinear_vote_matmul(
+        jnp.asarray(coords), jnp.asarray(wgt), height=h, width=w,
+        block_size=128))
+    # bf16 taps: ~3 decimal digits relative to the per-pixel count scale.
+    assert np.max(np.abs(got16 - want)) < 0.02 * max(want.max(), 1.0)
+
+    # Gradients wrt coords match the scatter path's (f32 compute).
+    def loss_scatter(c):
+        img = iwe_bilinear_vote(c, jnp.asarray(wgt), height=h, width=w)
+        return jnp.sum(img * img)
+
+    def loss_matmul(c):
+        img = iwe_bilinear_vote_matmul(c, jnp.asarray(wgt), height=h,
+                                       width=w, block_size=128,
+                                       compute_dtype=jnp.float32)
+        return jnp.sum(img * img)
+
+    g_s = np.asarray(jax.grad(loss_scatter)(jnp.asarray(coords)))
+    g_m = np.asarray(jax.grad(loss_matmul)(jnp.asarray(coords)))
+    np.testing.assert_allclose(g_m, g_s, atol=5e-3, rtol=1e-3)
+
+
+def test_iwe_batch_matmul_impl(rng):
+    coords = rng.uniform(0, 11, (2, 300, 2)).astype(np.float32)
+    wgt = np.ones((2, 300), np.float32)
+    a = np.asarray(iwe_bilinear_vote_batch(coords, wgt, height=12, width=12))
+    b = np.asarray(iwe_bilinear_vote_batch(coords, wgt, height=12, width=12,
+                                           scatter_impl="matmul"))
+    np.testing.assert_allclose(b, a, atol=0.05)

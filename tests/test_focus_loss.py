@@ -188,6 +188,31 @@ def test_focus_loss_epsilon_guards_empty_window(rng):
     np.testing.assert_allclose(float(l_a), float(l_b), rtol=2e-2)
 
 
+def test_matmul_iwe_grads_match_scatter(rng):
+    """The production TPU IWE path (bf16 one-hot matmuls) must give the same
+    descent direction as the scatter path through the WHOLE focus loss."""
+    events = jnp.asarray(make_translating_events(rng, (5.0, 7.0)))
+    times = jnp.concatenate([jnp.asarray([0.5]),
+                             jnp.asarray((np.arange(NBINS) + 0.5) / NBINS)])
+    traj = trajectories_for_flow(np.asarray(times), (2.0, 3.0))
+
+    def g(impl):
+        cfg = make_cfg(smooth_weight=0.01, iwe_impl=impl)
+        return np.asarray(jax.grad(
+            lambda t: focus_loss(cfg, t, times, events)[0])(traj)).ravel()
+
+    g_scatter = g("direct")
+    g_matmul = g("matmul")          # bf16 taps, f32 accumulation
+    cos = (g_scatter @ g_matmul /
+           (np.linalg.norm(g_scatter) * np.linalg.norm(g_matmul) + 1e-12))
+    assert cos > 0.995, cos
+    loss_s = float(focus_loss(make_cfg(iwe_impl="direct"), traj, times,
+                              events)[0])
+    loss_m = float(focus_loss(make_cfg(iwe_impl="matmul"), traj, times,
+                              events)[0])
+    np.testing.assert_allclose(loss_m, loss_s, rtol=2e-2)
+
+
 def test_multi_tref_linspace(rng):
     """num_tref > 1 uses linspace reference times and a multi-tref IWE stack
     (focus.py:54-55; requires dt-scaling/polarity/next-smooth disabled)."""
