@@ -65,3 +65,18 @@ def test_sharded_gradients_match(rng):
     ))(traj)
     np.testing.assert_allclose(np.asarray(g_sh), np.asarray(g_ref),
                                atol=1e-5, rtol=1e-3)
+
+
+def test_sharded_with_matmul_iwe(rng):
+    """The TPU production IWE path (one-hot matmul vote, a lax.scan) must
+    compose with shard_map event sharding: partial IWEs stay linear, so the
+    psum combine is unchanged."""
+    cfg = make_cfg(smooth_weight=0.01, iwe_impl="matmul")
+    events, times, traj, _ = _setup(rng)
+    mesh = make_mesh(data=2, event=4)
+
+    ref_loss, _, _ = focus_loss(cfg, traj, times, events)
+    loss, _, _ = jax.jit(
+        lambda t, ev: focus_loss_event_sharded(cfg, t, times, ev, mesh)
+    )(traj, events)
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-4)
