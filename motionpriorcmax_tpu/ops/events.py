@@ -321,11 +321,17 @@ def iwe_bilinear_vote_batch(coords_yx: jnp.ndarray, weight: jnp.ndarray, *,
                             scatter_impl: str = "direct") -> jnp.ndarray:
     """Batched bilinear vote: [B, M, 2], [B, M] -> [B, H, W].
 
-    scatter_impl: 'direct' / 'sorted' scatter-adds, or 'matmul' for the
-    MXU one-hot outer-product path (iwe_bilinear_vote_matmul — the fast
-    path on TPU).  vmap keeps each image's accumulation independent, which
-    shards cleanly over the data axis of the mesh.
+    scatter_impl: 'direct' / 'sorted' scatter-adds, 'matmul' for the MXU
+    one-hot outer-product path (iwe_bilinear_vote_matmul), or 'pallas' for
+    the fused kernel that builds the tap tiles in VMEM
+    (ops/pallas/iwe_vote.py — the fastest path on TPU).  vmap keeps each
+    image's accumulation independent, which shards cleanly over the data
+    axis of the mesh.
     """
+    if scatter_impl == "pallas":
+        from .pallas.iwe_vote import iwe_vote_pallas
+
+        return iwe_vote_pallas(coords_yx, weight, height, width)
     if scatter_impl == "matmul":
         return jax.vmap(
             lambda c, w: iwe_bilinear_vote_matmul(c, w, height=height,

@@ -1,0 +1,61 @@
+"""Pallas IWE vote kernel vs the scatter reference (interpret mode, CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from motionpriorcmax_tpu.ops.events import iwe_bilinear_vote
+from motionpriorcmax_tpu.ops.pallas.iwe_vote import iwe_vote_pallas
+
+H, W = 24, 36
+
+
+def make_inputs(rng, b=2, m=700):
+    coords = rng.uniform(-2, H + 2, (b, m, 2)).astype(np.float32)
+    coords[..., 1] = rng.uniform(-2, W + 2, (b, m)).astype(np.float32)
+    wgt = rng.uniform(0, 2, (b, m)).astype(np.float32)
+    wgt[:, -60:] = 0.0
+    return jnp.asarray(coords), jnp.asarray(wgt)
+
+
+def scatter_batch(coords, wgt):
+    return jax.vmap(lambda c, w: iwe_bilinear_vote(c, w, height=H,
+                                                   width=W))(coords, wgt)
+
+
+def test_pallas_vote_matches_scatter(rng):
+    coords, wgt = make_inputs(rng)
+    want = np.asarray(scatter_batch(coords, wgt))
+    got = np.asarray(iwe_vote_pallas(coords, wgt, H, W, jnp.float32, True))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+    got16 = np.asarray(iwe_vote_pallas(coords, wgt, H, W, jnp.bfloat16,
+                                       True))
+    assert np.max(np.abs(got16 - want)) < 0.02 * max(want.max(), 1.0)
+
+
+def test_pallas_vote_gradients(rng):
+    coords, wgt = make_inputs(rng, b=1, m=500)
+
+    def loss_ref(c, w):
+        return jnp.sum(jnp.square(scatter_batch(c, w)))
+
+    def loss_pal(c, w):
+        return jnp.sum(jnp.square(iwe_vote_pallas(c, w, H, W, jnp.float32,
+                                                  True)))
+
+    gc_r, gw_r = jax.grad(loss_ref, argnums=(0, 1))(coords, wgt)
+    gc_p, gw_p = jax.grad(loss_pal, argnums=(0, 1))(coords, wgt)
+    np.testing.assert_allclose(np.asarray(gc_p), np.asarray(gc_r),
+                               atol=5e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(gw_p), np.asarray(gw_r),
+                               atol=5e-3, rtol=1e-3)
+
+
+def test_pallas_vote_nonmultiple_m(rng):
+    """M not a multiple of the block size pads with zero-weight rows."""
+    coords, wgt = make_inputs(rng, b=1, m=333)
+    want = np.asarray(scatter_batch(coords, wgt))
+    got = np.asarray(iwe_vote_pallas(coords, wgt, H, W, jnp.float32, True))
+    np.testing.assert_allclose(got, want, atol=1e-4)
