@@ -77,9 +77,19 @@ def knn_blocked(
         dist = _pairwise_dist(qb, database, norm)
         if method == "approx":
             nd, idx = jax.lax.approx_min_k(dist, k)
-            return idx.astype(jnp.int32), nd
-        neg_top, idx = jax.lax.top_k(-dist, k)
-        return idx.astype(jnp.int32), -neg_top
+            idx = idx.astype(jnp.int32)
+        else:
+            neg_top, idx = jax.lax.top_k(-dist, k)
+            idx, nd = idx.astype(jnp.int32), -neg_top
+        if norm == "l2":
+            # Ranking used the MXU-friendly expanded form |q|^2-2q.db+|db|^2,
+            # which cancels catastrophically for near neighbors (abs error
+            # ~|q|^2 * eps).  Refine the K selected distances by direct
+            # subtraction so downstream 1/(d+eps) IWD weights match the
+            # reference's Kmin values (focus.py:159).
+            diffs = qb[:, None, :] - database[idx]
+            nd = jnp.sum(diffs * diffs, axis=-1)
+        return idx, nd
 
     idx, dist = jax.lax.map(one_block, blocks)
     idx = idx.reshape(q_pad, k)[:q]

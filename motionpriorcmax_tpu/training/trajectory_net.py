@@ -271,10 +271,22 @@ def eval_step(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array,
 
     if "gt_flow" in batch:
         flow_pred = _flow_from_coeffs(cfg, misc["coeff_grid"], basis_fn)
-        errors = calculate_flow_error(
-            batch["gt_flow"], flow_pred,
-            event_mask=batch.get("event_mask"),
-        )
+        # Reference parity: OpticalFlowError.run passes batch['flow_valid']
+        # as the mask into calculate_flow_error (src/utils/metrics.py:50-57),
+        # so val EPE/AE/NPE average only over GT-valid pixels.  An optional
+        # 'event_mask' (MVSEC-style) is intersected on top.
+        mask = batch.get("flow_valid")
+        event_mask = batch.get("event_mask")
+        if mask is None:
+            mask = event_mask
+        elif event_mask is not None:
+            if event_mask.ndim == 4:
+                event_mask = event_mask[:, 0]
+            if mask.ndim == 4:
+                mask = mask[:, 0]
+            mask = (mask > 0) & (event_mask > 0)
+        errors = calculate_flow_error(batch["gt_flow"], flow_pred,
+                                      event_mask=mask)
         logs.update({f"val_losses/{k}": v for k, v in errors.items()})
     return logs
 

@@ -1,10 +1,9 @@
 """Torch-checkpoint ingestion parity: converted weights must reproduce the
 reference UNet's forward pass bit-for-spec (eval mode, running BN stats).
 
-The torch model here is an independent re-statement of the architecture
-described in SURVEY.md C8 (conv3x3-BN-ReLU x2 blocks, 4x maxpool down,
-4x ConvTranspose up with skip concat, 1x1 out conv) used purely as the
-conversion oracle.
+The conversion oracle is the GENUINE reference module
+(/root/reference/src/models/unet/unet_model.py:6-48 + unet_parts.py:8-77),
+loaded via tests.ref_loader — no hand-retyped twin.
 """
 
 import numpy as np
@@ -15,59 +14,16 @@ import pytest
 torch = pytest.importorskip("torch")
 import torch.nn as tnn
 
-
-def _double(cin, cout):
-    return tnn.Sequential(
-        tnn.Conv2d(cin, cout, 3, padding=1, bias=False), tnn.BatchNorm2d(cout),
-        tnn.ReLU(inplace=True),
-        tnn.Conv2d(cout, cout, 3, padding=1, bias=False), tnn.BatchNorm2d(cout),
-        tnn.ReLU(inplace=True))
+from tests.ref_loader import REF, load_ref_unet
 
 
-class TorchUNet(tnn.Module):
-    def __init__(self, cin, cout):
-        super().__init__()
-        w = [64, 128, 256, 512, 1024]
-
-        class Inc(tnn.Module):
-            def __init__(self):
-                super().__init__()
-                self.double_conv = _double(cin, w[0])
-
-            def forward(self, x):
-                return self.double_conv(x)
-
-        self.inc = Inc()
-        for i in range(1, 5):
-            block = tnn.Sequential(tnn.MaxPool2d(2), tnn.Module())
-            block[1].double_conv = _double(w[i - 1], w[i])
-            block[1].forward = block[1].double_conv.forward
-            setattr(self, f"down{i}", tnn.Sequential())
-            getattr(self, f"down{i}").add_module("maxpool_conv", block)
-        for i in range(1, 5):
-            up = tnn.Module()
-            up.up = tnn.ConvTranspose2d(w[5 - i], w[5 - i] // 2, 2, stride=2)
-            conv = tnn.Module()
-            conv.double_conv = _double(w[5 - i], w[4 - i])
-            up.conv = conv
-            setattr(self, f"up{i}", up)
-        outc = tnn.Module()
-        outc.conv = tnn.Conv2d(w[0], cout, 1)
-        self.outc = outc
-
-    def forward(self, x):
-        x1 = self.inc(x)
-        x2 = self.down1[0][1].double_conv(self.down1[0][0](x1))
-        x3 = self.down2[0][1].double_conv(self.down2[0][0](x2))
-        x4 = self.down3[0][1].double_conv(self.down3[0][0](x3))
-        x5 = self.down4[0][1].double_conv(self.down4[0][0](x4))
-        y = x5
-        for i, skip in zip(range(1, 5), (x4, x3, x2, x1)):
-            up = getattr(self, f"up{i}")
-            y = up.up(y)
-            y = torch.cat([skip, y], dim=1)
-            y = up.conv.double_conv(y)
-        return self.outc.conv(y)
+def make_reference_unet(cin: int, cout: int):
+    """Instantiate the actual reference UNet (bilinear=False, the
+    configuration the published DSEC checkpoints use —
+    src/modules/trajectory_net.py:27-28 passes no bilinear flag)."""
+    if not REF.is_dir():
+        pytest.skip("reference tree not mounted")
+    return load_ref_unet()(cin, cout)
 
 
 def test_unet_weight_conversion_parity():
@@ -75,7 +31,7 @@ def test_unet_weight_conversion_parity():
     from motionpriorcmax_tpu.training.checkpoint import torch_unet_to_flax
 
     cin, cout = 5, 2
-    tmodel = TorchUNet(cin, cout)
+    tmodel = make_reference_unet(cin, cout)
     # Randomize BN running stats so the conversion of stats is exercised.
     with torch.no_grad():
         for m in tmodel.modules():

@@ -7,7 +7,7 @@ import yaml
 
 torch = pytest.importorskip("torch")
 
-from tests.test_checkpoint_convert import TorchUNet
+from tests.test_checkpoint_convert import make_reference_unet
 from tests.test_data_dsec import make_synthetic_dsec_sequence
 
 
@@ -30,7 +30,7 @@ def test_dsec_infer_end_to_end(tmp_path):
         fh.write("200000,300000,44\n")
 
     # Reference-format checkpoint.
-    tmodel = TorchUNet(15, 2)
+    tmodel = make_reference_unet(15, 2)
     ckpt = tmp_path / "model.pth"
     torch.save(tmodel.state_dict(), ckpt)
 

@@ -115,6 +115,95 @@ def test_compute_basis_parity(rng):
                                    atol=1e-4)
 
 
+def test_flow_valid_masked_error_parity(rng):
+    """The DSEC val-metric path: reference OpticalFlowError.run feeds
+    batch['flow_valid'] into calculate_flow_error (src/utils/metrics.py:50-57).
+    Round-1 val numbers were unmasked (see DIVERGENCES.md)."""
+    from tests.ref_loader import load_ref_metrics
+
+    ref_metrics, _ = load_ref_metrics()
+    from motionpriorcmax_tpu.ops.flow_error import calculate_flow_error
+
+    b, h, w = 3, 20, 24
+    gt = rng.normal(size=(b, 2, h, w)).astype(np.float32) * 4
+    # Some GT-invalid pixels (zeros: the |u|>0 & |v|>0 gate).
+    zero = rng.uniform(size=(b, h, w)) < 0.25
+    gt[:, 0][zero] = 0.0
+    gt[:, 1][zero] = 0.0
+    pred = rng.normal(size=(b, 2, h, w)).astype(np.float32) * 4
+    valid = rng.uniform(size=(b, h, w)) < 0.6
+
+    want = ref_metrics.OpticalFlowError.run(
+        {"flow": torch.from_numpy(pred)},
+        {"forward_flow": torch.from_numpy(gt),
+         "flow_valid": torch.from_numpy(valid)})
+
+    got = calculate_flow_error(jnp.asarray(gt), jnp.asarray(pred),
+                               event_mask=jnp.asarray(valid))
+    for k in ("EPE", "1PE", "2PE", "3PE", "AE"):
+        assert np.isclose(float(got[k]), want[k].item(), rtol=1e-5, atol=1e-6), (
+            k, float(got[k]), want[k].item())
+
+
+def test_eval_step_uses_flow_valid(rng):
+    """Wiring regression: eval_step must intersect batch['flow_valid'] into
+    the flow-error mask (round-1 bug: the mask was silently dropped, skewing
+    best-checkpoint selection on val_losses/EPE)."""
+    import jax
+
+    from motionpriorcmax_tpu.losses import FocusLossConfig
+    from motionpriorcmax_tpu.training.trajectory_net import (
+        TrajectoryNetConfig, create_train_state, eval_step)
+
+    h, w, nb, m = 32, 32, 4, 64
+    cfg = TrajectoryNetConfig(image_shape=(h, w), num_bins=nb, num_basis=1,
+                              patch_size=4, basis_type="polynomial")
+    loss_cfg = FocusLossConfig(image_shape=(h, w), num_bins=nb, num_tref=1,
+                               num_knn=4, lut_superpixel_size=4,
+                               knn_method="softmax",
+                               polarity_aware_batching=False)
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+
+    y = rng.uniform(0, h - 1, m)
+    x = rng.uniform(0, w - 1, m)
+    t = rng.uniform(0, 1, m)
+    p = rng.integers(0, 2, m)
+    bi = np.clip((t * nb).astype(int), 0, nb - 1)
+    events = np.stack([y, x, t, p, bi, np.ones(m)], -1).astype(np.float32)[None]
+    gt = rng.normal(size=(1, 2, h, w)).astype(np.float32)
+    batch = {
+        "events": jnp.asarray(events),
+        "voxel": jnp.asarray(rng.normal(size=(1, nb, h, w)).astype(np.float32)),
+        "gt_flow": jnp.asarray(gt),
+    }
+    key = jax.random.PRNGKey(1)
+
+    # Restrictive mask must change EPE vs no mask (pred is deterministic).
+    half = np.zeros((1, h, w), bool)
+    half[:, :, : w // 2] = True
+    logs_none = eval_step(state, batch, key, cfg, loss_cfg)
+    logs_half = eval_step(state, {**batch, "flow_valid": jnp.asarray(half)},
+                          key, cfg, loss_cfg)
+    assert not np.isclose(float(logs_none["val_losses/EPE"]),
+                          float(logs_half["val_losses/EPE"]))
+    # flow_valid behaves exactly like the direct mask argument.
+    logs_em = eval_step(state, {**batch, "event_mask": jnp.asarray(half)},
+                        key, cfg, loss_cfg)
+    assert np.isclose(float(logs_half["val_losses/EPE"]),
+                      float(logs_em["val_losses/EPE"]), rtol=1e-6)
+    # Intersection with event_mask.
+    quarter = half.copy()
+    quarter[:, : h // 2] = False
+    logs_q = eval_step(
+        state, {**batch, "flow_valid": jnp.asarray(half),
+                "event_mask": jnp.asarray(quarter)}, key, cfg, loss_cfg)
+    logs_q_direct = eval_step(
+        state, {**batch, "flow_valid": jnp.asarray(quarter)}, key, cfg,
+        loss_cfg)
+    assert np.isclose(float(logs_q["val_losses/EPE"]),
+                      float(logs_q_direct["val_losses/EPE"]), rtol=1e-6)
+
+
 def test_flow_png_decode_parity(rng, tmp_path):
     ref = load_ref("ref_dsec_utils", "src/loader/dsec/utils.py")
     from motionpriorcmax_tpu.utils.png16 import read_png_rgb, write_png16_rgb
