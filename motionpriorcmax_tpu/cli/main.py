@@ -36,24 +36,55 @@ def cmd_flow_train(args) -> int:
     from ..training import create_train_state
     import jax
 
+    import math
+
+    from ..parallel import make_mesh
+    from ..parallel.distributed import initialize_distributed
+
+    # Multi-host: every process runs this same command with its own
+    # --process-id; must happen before any jax.devices() query (the reference
+    # analog is Lightning's DDP spawn, scripts/flow_training.py:125-130).
+    initialize_distributed(coordinator_address=args.coordinator,
+                           num_processes=args.num_processes,
+                           process_id=args.process_id)
+    n_proc = jax.process_count()
+    is_main = jax.process_index() == 0
+
     config = propagate_config(load_yaml(args.config))
     cfg, loss_cfg = _flow_cfgs(config)
     dc = config["data"]
     pab = dc.get("polarity_aware_batching", False)
 
+    # Mesh: the data axis must divide the batch (XLA even-sharding).  Default
+    # = gcd(batch, n_devices); --mesh data,event overrides (event > 1 shards
+    # the event capacity — the beyond-reference axis, SURVEY.md §5.7).
+    if args.mesh:
+        mesh = make_mesh(data=args.mesh[0], event=args.mesh[1])
+    else:
+        import jax as _jax
+
+        mesh = make_mesh(
+            data=math.gcd(dc["batch_size"], len(_jax.devices())), event=1)
+
     capacity = args.event_capacity
     pos_capacity = capacity // 2 if pab else None
     buckets = args.event_capacity_buckets
+    if n_proc > 1:
+        # Global batch assembly needs one static capacity across hosts.
+        assert buckets is None, "--event-capacity-buckets is single-host only"
+        assert dc["batch_size"] % n_proc == 0, (dc["batch_size"], n_proc)
 
     def make_loader(split, shuffle):
         provider = DsecDatasetProvider(
             dc["data_path"], split=split, num_bins=dc["num_bins"],
             polarity_aware_batching=pab)
-        return DataLoader(provider, batch_size=dc["batch_size"],
+        return DataLoader(provider, batch_size=dc["batch_size"] // n_proc,
                           capacity=capacity, shuffle=shuffle,
                           num_workers=dc.get("num_workers", 8),
                           polarity_aware=pab, pos_capacity=pos_capacity,
-                          capacity_buckets=buckets)
+                          capacity_buckets=buckets,
+                          shard=(jax.process_index(), n_proc)
+                          if n_proc > 1 else None)
 
     train_loader = make_loader("train", True)
     val_loader = make_loader("val", False)
@@ -62,14 +93,22 @@ def cmd_flow_train(args) -> int:
     if args.ckp_path:
         template = create_train_state(cfg, jax.random.PRNGKey(0))
         resume_state, step = restore_checkpoint(args.ckp_path, template)
-        print(f"resumed from {args.ckp_path} @ step {step}")
+        if is_main:
+            print(f"resumed from {args.ckp_path} @ step {step}")
 
     workdir = args.workdir or f"runs/flow_{datetime.now():%Y%m%d_%H%M%S}"
+    # Image panel logging is unconditional, as in the reference
+    # (scripts/flow_training.py:118-120 registers DsecImageLoggingCallback
+    # over 5 evenly-spaced val samples; src/utils/logging.py:33-47).
     out = train_flow(cfg, loss_cfg, train_loader, val_loader, workdir,
                      max_epochs=config.get("trainer", {}).get("max_epochs", 100),
                      num_pos_events=pos_capacity if pab else -1,
-                     resume_state=resume_state, log_every=args.log_every)
-    print(f"done: best={out['best']:.4f} steps={out['steps']}")
+                     resume_state=resume_state, log_every=args.log_every,
+                     mesh=mesh,
+                     image_log_dataset=val_loader.dataset,
+                     image_log_collate=val_loader.collate_fn)
+    if is_main:
+        print(f"done: best={out['best']:.4f} steps={out['steps']}")
     return 0
 
 
@@ -168,7 +207,8 @@ def cmd_traj_val(args) -> int:
         use_boundary_images=mc.get("use_boundary_images", False),
         ev_target_indices=tuple(mc["correlation"]["ev"]["target_indices"]),
         ev_levels=tuple(mc["correlation"]["ev"]["levels"]),
-        iters=mc["num_iter"]["test"])
+        iters=mc["num_iter"]["test"],
+        corr_dtype=mc.get("corr_dtype", "float32"))
 
     ds = cfg_tree["dataset"]
     dataset_name = ds.get("name", "evimo2")
@@ -205,8 +245,15 @@ def cmd_traj_val(args) -> int:
         ts = tuple(np.linspace(0, 1, num_steps + 1)[1:].tolist())
     else:
         ts = tuple(float(t) for t in provider[0]["flow_timestamps"])
-    step = jax.jit(functools.partial(raft_validation_step, cfg=cfg,
-                                     flow_timestamps=ts))
+    # Optional GT-arc-length gate on the multi metrics (reference
+    # EPE_MULTI/FLOW_METRICS_MULTI min/max_traj_len options,
+    # src/modules/utils.py:357-363, 496-511); dotted overrides
+    # `validation.min_traj_len=...` enable it.
+    vc = cfg_tree.get("validation", {}) or {}
+    step = jax.jit(functools.partial(
+        raft_validation_step, cfg=cfg, flow_timestamps=ts,
+        min_traj_len=vc.get("min_traj_len"),
+        max_traj_len=vc.get("max_traj_len")))
 
     bank = MetricBank()
     bsz = cfg_tree.get("batch_size", 8)
@@ -276,18 +323,24 @@ def cmd_traj_train(args) -> int:
         use_boundary_images=mc.get("use_boundary_images", False),
         ev_target_indices=tuple(mc["correlation"]["ev"]["target_indices"]),
         ev_levels=tuple(mc["correlation"]["ev"]["levels"]),
-        iters=mc["num_iter"]["train"])
+        iters=mc["num_iter"]["train"],
+        # Training-memory/throughput knobs (dotted overrides, e.g.
+        # `model.corr_dtype=bfloat16`): the measured single-chip batch-6
+        # recipe is corr_dtype=bfloat16 + remat_iters (ROADMAP ladder).
+        freeze_bn=mc.get("freeze_bn", False),
+        remat_iters=mc.get("remat_iters", True),
+        remat_encoders=mc.get("remat_encoders", False),
+        corr_dtype=mc.get("corr_dtype", "float32"))
 
     lc = dict(cfg_tree["loss"])
     pab = lc.get("polarity_aware_batching", False)
-    image_hw = (384, 512)
-    loss_cfg = make_loss(lc.pop("type", "FOCUS"), image_shape=image_hw, **lc)
 
     tcfg = cfg_tree["training"]
     tc = RAFTTrainConfig(learning_rate=tcfg["learning_rate"],
                          weight_decay=tcfg["weight_decay"],
                          use_scheduler=tcfg["lr_scheduler"]["use"],
-                         total_steps=args.max_steps)
+                         total_steps=args.max_steps,
+                         accumulate_steps=tcfg.get("accumulate_steps", 1))
 
     ds = cfg_tree["dataset"]
     supervised = args.loss == "supervised"
@@ -350,6 +403,12 @@ def cmd_traj_train(args) -> int:
                         pos_capacity=pos_capacity,
                         num_workers=cfg_tree.get("hardware", {}).get("num_workers", 8))
 
+    # Resolution comes from the data, not a hardcode: EVIMO2 resizes to
+    # 384x512 (evimo2/datasubset.py:176-189), MultiFlow is 384x512 natively —
+    # but a probe sample keeps this correct for any dataset variant.
+    image_hw = tuple(dataset[0]["ev_repr"].shape[-2:])
+    loss_cfg = make_loss(lc.pop("type", "FOCUS"), image_shape=image_hw, **lc)
+
     state = create_raft_state(cfg, tc, jax.random.PRNGKey(0), image_hw)
     if supervised:
         step = jax.jit(functools.partial(raft_supervised_train_step, cfg=cfg))
@@ -411,6 +470,21 @@ def _parse_buckets(value: str):
     return buckets
 
 
+def _parse_mesh(value: str):
+    parts = value.split(",")
+    if len(parts) != 2:
+        raise argparse.ArgumentTypeError(
+            f"expected DATA,EVENT axis sizes, got {value!r}")
+    try:
+        data, event = (int(p) for p in parts)
+    except ValueError:
+        raise argparse.ArgumentTypeError(
+            f"expected DATA,EVENT axis sizes, got {value!r}")
+    if data <= 0 or event <= 0:
+        raise argparse.ArgumentTypeError("mesh axis sizes must be positive")
+    return (data, event)
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="motionpriorcmax_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -426,6 +500,14 @@ def main(argv=None) -> int:
                         "the smallest covering bucket (one compile each) "
                         "instead of always --event-capacity")
     p.add_argument("--log-every", type=int, default=200)
+    p.add_argument("--mesh", default=None, type=_parse_mesh,
+                   help="data,event mesh axis sizes (default: "
+                        "gcd(batch, n_devices),1)")
+    p.add_argument("--coordinator", default=None,
+                   help="multi-host coordinator host:port "
+                        "(jax.distributed; run this command on every host)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     p.set_defaults(fn=cmd_flow_train)
 
     p = sub.add_parser("dsec-infer", help="DSEC benchmark PNG inference")

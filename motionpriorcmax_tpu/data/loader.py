@@ -30,8 +30,14 @@ class DataLoader:
                  drop_last: bool = True, seed: int = 0,
                  prefetch: int = 2,
                  collate_fn: Optional[Callable] = None,
-                 capacity_buckets: Optional[Sequence[int]] = None):
+                 capacity_buckets: Optional[Sequence[int]] = None,
+                 shard: Optional[tuple] = None):
         self.dataset = dataset
+        # (rank, world): distributed sampler — all processes shuffle the SAME
+        # order (shared seed) then stride-slice it, so host-local batches
+        # assemble into a disjoint global batch (parallel/distributed.py;
+        # the Lightning DistributedSampler analog).
+        self.shard = shard
         self.batch_size = batch_size
         self.capacity = capacity
         self.shuffle = shuffle
@@ -49,6 +55,9 @@ class DataLoader:
 
     def __len__(self) -> int:
         n = len(self.dataset)
+        if self.shard is not None:
+            rank, world = self.shard
+            n = len(range(rank, n, world))
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
@@ -57,10 +66,13 @@ class DataLoader:
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self._epoch)
             rng.shuffle(order)
+        if self.shard is not None:
+            rank, world = self.shard
+            order = order[rank::world]
         self._epoch += 1
 
         batches = [order[i:i + self.batch_size]
-                   for i in range(0, n, self.batch_size)]
+                   for i in range(0, len(order), self.batch_size)]
         if self.drop_last:
             batches = [b for b in batches if len(b) == self.batch_size]
 

@@ -13,6 +13,7 @@ from .core import (
     epe_masked_multi,
     ae_masked_multi,
     trajectory_flow_metrics,
+    traj_len_filter_mask,
     predictions_from_lin_assumption,
     MetricBank,
 )
@@ -26,6 +27,7 @@ __all__ = [
     "epe_masked_multi",
     "ae_masked_multi",
     "trajectory_flow_metrics",
+    "traj_len_filter_mask",
     "predictions_from_lin_assumption",
     "MetricBank",
 ]

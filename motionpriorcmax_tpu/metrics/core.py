@@ -74,14 +74,50 @@ def n_pixel_error_masked(source: jnp.ndarray, target: jnp.ndarray,
     return val * 100.0, wgt
 
 
+def traj_len_filter_mask(target: jnp.ndarray,
+                         valid_mask: Optional[jnp.ndarray],
+                         min_traj_len: Optional[float] = None,
+                         max_traj_len: Optional[float] = None
+                         ) -> Optional[jnp.ndarray]:
+    """Intersect a validity mask with a trajectory-arc-length gate.
+
+    Reference: EPE_MULTI.update / FLOW_METRICS_MULTI.update
+    (src/modules/utils.py:357-393, 496-511) — traj_len is the GT arc length
+    over steps; valid_len = all-True, &= (len >= min), &= (len <= max); when
+    valid_mask is None the gate mask itself becomes the per-step mask
+    (the reference clones it per step), else it is intersected per step.
+
+    target [M, N, 2, ...]; valid_mask [M, N, ...] or None.  Returns the
+    (possibly new) mask, or None when no gate is configured.
+    """
+    if min_traj_len is None and max_traj_len is None:
+        return valid_mask
+    traj_len = compute_traj_len(target)          # [N, ...]
+    valid_len = jnp.ones(traj_len.shape, bool)
+    if min_traj_len is not None:
+        valid_len &= traj_len >= min_traj_len
+    if max_traj_len is not None:
+        valid_len &= traj_len <= max_traj_len
+    m = target.shape[0]
+    gate = jnp.broadcast_to(valid_len[None], (m,) + valid_len.shape)
+    if valid_mask is None:
+        return gate
+    return valid_mask & gate
+
+
 def epe_masked_multi(source: jnp.ndarray, target: jnp.ndarray,
-                     valid_mask: Optional[jnp.ndarray] = None
+                     valid_mask: Optional[jnp.ndarray] = None,
+                     min_traj_len: Optional[float] = None,
+                     max_traj_len: Optional[float] = None
                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Mean of per-step masked EPE over the step axis (utils.py:106-126).
 
     source/target [M, N, C, ...]; valid_mask [M, N, ...] or None.  Steps with
     an empty mask are skipped from the mean (the reference's None handling).
+    min/max_traj_len gate pixels by GT arc length (utils.py:380-391).
     """
+    valid_mask = traj_len_filter_mask(target, valid_mask,
+                                      min_traj_len, max_traj_len)
     m = source.shape[0]
     vals, wgts = [], []
     for i in range(m):
@@ -109,13 +145,17 @@ def ae_masked_multi(source: jnp.ndarray, target: jnp.ndarray,
 
 
 def trajectory_flow_metrics(source: jnp.ndarray, target: jnp.ndarray,
-                            valid_mask: Optional[jnp.ndarray] = None
+                            valid_mask: Optional[jnp.ndarray] = None,
+                            min_traj_len: Optional[float] = None,
+                            max_traj_len: Optional[float] = None
                             ) -> Dict[str, jnp.ndarray]:
     """TEPE/TAE/T3PE + per-step EPE (utils.py:465-541, FLOW_METRICS_MULTI).
 
     Args:
       source, target: [M, N, 2, H, W] (M timesteps; reference num_steps = 6).
       valid_mask: [M, N, H, W] bool or None.
+      min_traj_len, max_traj_len: optional GT-arc-length gate intersected
+        into the mask (utils.py:496-511).
 
     Returns:
       {'TEPE', 'TAE', 'T3PE', 'EPE_STEP00'..}: same semantics as the
@@ -123,6 +163,8 @@ def trajectory_flow_metrics(source: jnp.ndarray, target: jnp.ndarray,
       (which intersects with its own GT-validity mask), per-step EPE uses
       calculate_flow_error per step.
     """
+    valid_mask = traj_len_filter_mask(target, valid_mask,
+                                      min_traj_len, max_traj_len)
     m, n = source.shape[:2]
     src_flat = source.reshape((-1,) + source.shape[2:])
     tgt_flat = target.reshape((-1,) + target.shape[2:])
@@ -184,3 +226,27 @@ class MetricBank:
         sum-reduction analog (SURVEY.md §2.3)."""
         return jax.tree_util.tree_map(
             lambda x: jax.lax.psum(x, axis_name), state_tree)
+
+    def reduce_across_processes(self) -> "MetricBank":
+        """Sum (sum, count) states across jax.distributed processes — the
+        Lightning sync_dist=True / torchmetrics dist_reduce_fx='sum' analog
+        for per-host validation shards (src/modules/trajectory_net.py:165-169).
+
+        Every process must call this with the SAME metric keys; the reduced
+        bank is identical on all processes.  No-op single-process.
+        """
+        if jax.process_count() == 1:
+            return self
+        from jax.experimental import multihost_utils
+
+        keys = sorted(self.state)
+        local = np.array([[float(self.state[k][0]), float(self.state[k][1])]
+                          for k in keys], np.float64)
+        if not keys:
+            local = np.zeros((0, 2), np.float64)
+        gathered = np.asarray(multihost_utils.process_allgather(local))
+        total = gathered.sum(axis=0)       # [K, 2]
+        out = MetricBank()
+        out.state = {k: (total[i, 0], total[i, 1])
+                     for i, k in enumerate(keys)}
+        return out

@@ -43,8 +43,9 @@ def process_batch_slice(global_batch: int) -> slice:
     return slice(idx * per, (idx + 1) * per)
 
 
-def host_local_batch_to_global(mesh, batch: Dict[str, Any],
-                               event_keys=("events",)) -> Dict[str, Any]:
+def host_local_batch_to_global(
+        mesh, batch: Dict[str, Any],
+        event_keys=("events", "pos_events", "neg_events")) -> Dict[str, Any]:
     """Assemble global device arrays from host-local numpy shards.
 
     Each process passes its local slice of the batch; the result is a global
@@ -60,6 +61,10 @@ def host_local_batch_to_global(mesh, batch: Dict[str, Any],
             continue
         arr = np.asarray(val)
         if arr.dtype.kind in ("U", "S", "O"):
+            continue
+        if arr.ndim == 0:
+            out[key] = jax.make_array_from_process_local_data(
+                NamedSharding(mesh, P()), arr, arr.shape)
             continue
         spec = ["data"] + [None] * (arr.ndim - 1)
         if key in event_keys and arr.ndim >= 2:

@@ -141,10 +141,22 @@ def train_flow(
     image_log_dataset=None,
     image_log_collate=None,
 ) -> Dict[str, float]:
-    """Self-supervised DSEC flow training (reference §3.1 call stack)."""
+    """Self-supervised DSEC flow training (reference §3.1 call stack).
+
+    Multi-host (jax.process_count() > 1, set up via
+    parallel.initialize_distributed): each process feeds HOST-LOCAL batches —
+    train batches are assembled into global sharded arrays
+    (host_local_batch_to_global), validation runs on each host's shard and
+    the (sum, count) metric states are summed across processes
+    (MetricBank.reduce_across_processes ≡ Lightning sync_dist).  Scalars and
+    image panels are written by process 0 only (reference rank-0 guard,
+    src/utils/metrics.py:7-8); orbax checkpointing is collective.
+    """
     if mesh is None:
         mesh = make_mesh(event=1)
-    logger = ScalarLogger(workdir)
+    multiprocess = jax.process_count() > 1
+    is_main = jax.process_index() == 0
+    logger = ScalarLogger(workdir) if is_main else None
 
     state = resume_state or create_train_state(cfg, jax.random.PRNGKey(seed))
     state = replicate(mesh, state)
@@ -175,25 +187,38 @@ def train_flow(
             key, sub = jax.random.split(key)
             batch = dict(batch)
             npos = batch.pop("num_pos_events", num_pos_events)
-            state, logs = step_for(npos)(state, shard_batch(mesh, batch), sub)
+            if multiprocess:
+                from ..parallel.distributed import host_local_batch_to_global
+
+                sharded = host_local_batch_to_global(mesh, batch)
+            else:
+                sharded = shard_batch(mesh, batch)
+            state, logs = step_for(npos)(state, sharded, sub)
             step += 1
-            if step % log_every == 0:
+            if step % log_every == 0 and is_main:
                 scalars = {k: float(v) for k, v in logs.items()}
                 dt = time.perf_counter() - t_last
                 scalars["steps_per_s"] = log_every / dt
                 t_last = time.perf_counter()
                 logger.log(step, scalars)
 
-        if image_log_dataset is not None and image_log_collate is not None:
+        if (is_main and image_log_dataset is not None
+                and image_log_collate is not None):
             from ..utils.image_logging import ImagePanelLogger, \
                 log_flow_epoch_images
 
             panel = ImagePanelLogger(workdir, tb_writer=logger._tb)
-            render = make_flow_render_fn(state, cfg, loss_cfg)
+            render_state = _host_local_state(state) if multiprocess else state
+            render = make_flow_render_fn(render_state, cfg, loss_cfg)
             log_flow_epoch_images(panel, image_log_dataset, image_log_collate,
                                   render, step, "val/")
 
         if val_loader is not None:
+            # Multi-host: each process evaluates its OWN val shard with a
+            # host-local state copy (local jit, no SPMD), then the (sum,
+            # count) states are summed across processes — the Lightning
+            # per-rank validation + sync_dist design.
+            eval_state = _host_local_state(state) if multiprocess else state
             bank = MetricBank()
             for batch in val_loader:
                 key, sub = jax.random.split(key)
@@ -201,10 +226,13 @@ def train_flow(
                 if "forward_flow" in vb:
                     vb["gt_flow"] = vb.pop("forward_flow")
                 npos = vb.pop("num_pos_events", num_pos_events)
-                logs = eval_for(npos)(state, shard_batch(mesh, vb), sub)
+                vb = vb if multiprocess else shard_batch(mesh, vb)
+                logs = eval_for(npos)(eval_state, vb, sub)
                 bank.update({k: float(v) for k, v in logs.items()})
+            bank = bank.reduce_across_processes()
             val = bank.compute()
-            logger.log(step, val)
+            if is_main:
+                logger.log(step, val)
             metric = val.get(monitor, val.get("val_losses/total"))
             if metric is not None:
                 # Best-k retention on the monitored metric (reference
@@ -216,9 +244,17 @@ def train_flow(
                 # Best-run summary: push '<key>_at_best' for every metric at
                 # the new best step (reference log_best_metrics,
                 # src/utils/metrics.py:5-31).
-                logger.log(step, {f"{k}_at_best": v for k, v in val.items()})
+                if is_main:
+                    logger.log(step, {f"{k}_at_best": v for k, v in val.items()})
         else:
             save_checkpoint(str(Path(workdir) / "checkpoints"), state, step=step)
 
-    logger.close()
+    if logger is not None:
+        logger.close()
     return {"best": best, "steps": step}
+
+
+def _host_local_state(state):
+    """Host-local numpy copy of a fully-replicated global TrainState, for
+    process-local jit (validation / rendering) under multi-host."""
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), state)

@@ -113,6 +113,8 @@ def _forward(cfg: RAFTSplineConfig, params, batch_stats, voxel, images,
 def raft_validation_step(state: RAFTTrainState, batch: Dict[str, jnp.ndarray],
                          cfg: RAFTSplineConfig,
                          flow_timestamps: Tuple[float, ...],
+                         min_traj_len: float | None = None,
+                         max_traj_len: float | None = None,
                          ) -> Dict[str, jnp.ndarray]:
     """Evaluate the curve at each GT timestamp; compute the metric suite.
 
@@ -121,22 +123,39 @@ def raft_validation_step(state: RAFTTrainState, batch: Dict[str, jnp.ndarray],
         (channel 0 = x, EVIMO2 convention), optional 'flow_valid' [B, M, H, W],
         optional 'img' pair.
       flow_timestamps: static GT timestamps (EVIMO2: linspace(0,1,M+1)[1:]).
+      min_traj_len, max_traj_len: optional GT-arc-length gate for the multi
+        metrics (reference EPE_MULTI/FLOW_METRICS_MULTI options,
+        src/modules/utils.py:357-393, 496-511).
 
     Returns:
       dict of metric (value, weight) pairs keyed like the reference printout
       (val/masked_TEPE etc., scripts/trajectory_inference.py:91-97).
     """
+    from ..ops.padding import pad_to_multiple, requires_padding, unpad
+
     ev_repr = batch["ev_repr"]
     images = batch.get("img")
+    # Pad H, W to multiples of 8 around the forward, as the reference does
+    # for every val batch (src/modules/raft_spline.py:114-120, 136-154);
+    # predictions are pointwise in the upsampled curve params, so unpadding
+    # params_up == unpadding each predicted flow.
+    h0, w0 = ev_repr.shape[-2:]
+    padded = requires_padding(h0, w0, 8)
+    if padded:
+        ev_repr = pad_to_multiple(ev_repr, 8)
+        if images is not None:
+            images = [pad_to_multiple(x, 8) for x in images]
     (_, params_up), _ = _forward(cfg, state.params, state.batch_stats,
                                  ev_repr, images, test_mode=True, train=False)
+    if padded:
+        params_up = unpad(params_up, h0, w0, 8)
 
     ts = jnp.asarray(flow_timestamps, jnp.float32)
     preds = curve_flow_from_reference(params_up, ts, cfg.curve_type)
     # preds: [M, B, 2, H, W] — channel order (x, y) matches EVIMO2 GT.
     gt = jnp.moveaxis(batch["flow"], 1, 0)  # [M, B, 2, H, W]
 
-    event_mask = jnp.any(jnp.abs(ev_repr) > 0, axis=1)  # [B, H, W]
+    event_mask = jnp.any(jnp.abs(batch["ev_repr"]) > 0, axis=1)  # [B, H, W]
     flow_valid = batch.get("flow_valid")
     if flow_valid is not None:
         valid = jnp.moveaxis(flow_valid, 1, 0).astype(bool)  # [M, B, H, W]
@@ -157,10 +176,12 @@ def raft_validation_step(state: RAFTTrainState, batch: Dict[str, jnp.ndarray],
     put("val/", "ae", ae_masked(preds[-1], gt[-1]))
     for n in (1, 2, 3):
         put("val/", f"{n}pe", n_pixel_error_masked(preds[-1], gt[-1], None, n))
-    # Plain multi metrics.
-    put("val/", "epe_multi", epe_masked_multi(preds, gt))
+    # Plain multi metrics.  The traj-len gate applies to EPE_MULTI and
+    # FLOW_METRICS_MULTI only (AE_MULTI has no such option in the reference).
+    tl = dict(min_traj_len=min_traj_len, max_traj_len=max_traj_len)
+    put("val/", "epe_multi", epe_masked_multi(preds, gt, **tl))
     put("val/", "ae_multi", ae_masked_multi(preds, gt))
-    for k, v in trajectory_flow_metrics(preds, gt).items():
+    for k, v in trajectory_flow_metrics(preds, gt, **tl).items():
         logs[f"val/{k}"] = v
 
     # Event-masked single on last step (reference :166-168).
@@ -172,13 +193,13 @@ def raft_validation_step(state: RAFTTrainState, batch: Dict[str, jnp.ndarray],
 
     # Multi, flow-valid masked and ev-masked (reference :170-188).
     if masks is not None:
-        put("val/masked_", "epe_multi", epe_masked_multi(preds, gt, masks))
+        put("val/masked_", "epe_multi", epe_masked_multi(preds, gt, masks, **tl))
         put("val/masked_", "ae_multi", ae_masked_multi(preds, gt, masks))
-        for k, v in trajectory_flow_metrics(preds, gt, masks).items():
+        for k, v in trajectory_flow_metrics(preds, gt, masks, **tl).items():
             logs[f"val/masked_{k}"] = v
-    put("val/ev_masked_", "epe_multi", epe_masked_multi(preds, gt, masks_ev))
+    put("val/ev_masked_", "epe_multi", epe_masked_multi(preds, gt, masks_ev, **tl))
     put("val/ev_masked_", "ae_multi", ae_masked_multi(preds, gt, masks_ev))
-    for k, v in trajectory_flow_metrics(preds, gt, masks_ev).items():
+    for k, v in trajectory_flow_metrics(preds, gt, masks_ev, **tl).items():
         logs[f"val/ev_masked_{k}"] = v
 
     # Linear-assumption baseline (reference :190-196).

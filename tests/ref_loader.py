@@ -195,6 +195,36 @@ def load_ref_metrics():
     return mmods["metrics"], mods["flow"]
 
 
+def stub_torchmetrics():
+    """Minimal torchmetrics.Metric so src/modules/utils.py imports; the
+    reference classes only use add_state + attribute accumulation."""
+    if "torchmetrics" in sys.modules:
+        return
+
+    tm = types.ModuleType("torchmetrics")
+
+    class Metric:
+        def __init__(self, dist_sync_on_step=False):
+            pass
+
+        def add_state(self, name, default, dist_reduce_fx=None):
+            setattr(self, name, default)
+
+        def __call__(self, *args, **kwargs):
+            self.update(*args, **kwargs)
+            return self.compute()
+
+    tm.Metric = Metric
+    sys.modules["torchmetrics"] = tm
+
+
+def load_ref_modules_utils():
+    """Load the actual src/modules/utils.py (EPE_MULTI, FLOW_METRICS_MULTI,
+    masked error fns) with torchmetrics stubbed."""
+    stub_torchmetrics()
+    return load_ref("ref_modules_utils", "src/modules/utils.py")
+
+
 def load_ref_unet():
     """Load the actual reference UNet (src/models/unet/unet_model.py:6-48)."""
     _, mods = load_ref_pkg("ref_unet_pkg", "src/models/unet", [

@@ -86,3 +86,73 @@ def test_metric_bank_accumulation():
     bank.update({"epe": 4.0}, {"epe": 1.0})
     bank.update({"epe": 100.0}, {"epe": 0.0})  # empty update ignored
     assert np.isclose(bank.compute()["epe"], 3.0)
+
+
+def test_traj_len_filter_parity_vs_reference(rng):
+    """min/max_traj_len gating matches the LIVE reference EPE_MULTI /
+    FLOW_METRICS_MULTI (src/modules/utils.py:357-393, 496-511), including
+    the mask-cloning behavior when valid_mask is None."""
+    import torch
+
+    from motionpriorcmax_tpu.metrics import trajectory_flow_metrics
+    from tests.ref_loader import load_ref_modules_utils
+
+    ref = load_ref_modules_utils()
+
+    m, n, h, w = 6, 2, 8, 8
+    src = rng.normal(size=(m, n, 2, h, w)).astype(np.float32)
+    tgt = (rng.normal(size=(m, n, 2, h, w)) * 2).astype(np.float32)
+    mask = rng.uniform(size=(m, n, h, w)) < 0.8
+
+    src_t = [torch.from_numpy(src[i]) for i in range(m)]
+    tgt_t = [torch.from_numpy(tgt[i]) for i in range(m)]
+    mask_t = [torch.from_numpy(mask[i]) for i in range(m)]
+
+    cases = [(None, None), (jnp.asarray(mask), mask_t)]
+    gates = [(2.0, None), (None, 9.0), (2.0, 9.0)]
+    for vm_ours, vm_ref in cases:
+        for lo, hi in gates:
+            metric = ref.EPE_MULTI(min_traj_len=lo, max_traj_len=hi)
+            metric.update(src_t, tgt_t,
+                          None if vm_ref is None
+                          else [t.clone() for t in vm_ref])
+            want = float(metric.compute())
+            got, wgt = epe_masked_multi(jnp.asarray(src), jnp.asarray(tgt),
+                                        vm_ours, min_traj_len=lo,
+                                        max_traj_len=hi)
+            assert float(wgt) == 1.0
+            assert np.isclose(float(got), want, atol=1e-4), (lo, hi, vm_ref is None)
+
+            fm = ref.FLOW_METRICS_MULTI(min_traj_len=lo, max_traj_len=hi)
+            fm.update(src_t, tgt_t,
+                      None if vm_ref is None
+                      else [t.clone() for t in vm_ref])
+            want_d = {k: float(v) for k, v in fm.compute().items()}
+            got_d = trajectory_flow_metrics(jnp.asarray(src), jnp.asarray(tgt),
+                                            vm_ours, min_traj_len=lo,
+                                            max_traj_len=hi)
+            for key in ("TEPE", "TAE", "T3PE", "EPE_STEP00", "EPE_STEP05"):
+                assert np.isclose(float(got_d[key]), want_d[key],
+                                  atol=1e-3), key
+
+
+def test_metric_bank_reduce_across_mesh():
+    """reduce_across psums (sum, count) states over a mesh axis — the
+    in-jit analog of torchmetrics dist_reduce_fx='sum'."""
+    import jax
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from motionpriorcmax_tpu.parallel import make_mesh
+
+    mesh = make_mesh(data=8, event=1)
+    per_device = jnp.arange(8, dtype=jnp.float32).reshape(8, 1)
+
+    def body(x):
+        state = {"epe": (x.sum(), jnp.asarray(1.0))}
+        return MetricBank.reduce_across(state, "data")
+
+    out = jax.jit(shard_map(body, mesh=mesh, in_specs=P("data"),
+                            out_specs=P()))(per_device)
+    s, c = out["epe"]
+    assert float(s) == 28.0 and float(c) == 8.0

@@ -188,3 +188,24 @@ def test_evimo2_datasubset(tmp_path):
     assert 0 <= ev[:, 2].min() and ev[:, 2].max() <= 1
     assert ev[:, 4].max() <= 40
     assert s["bin_meta"]["nbins_total"] == 65
+
+
+def test_raft_validation_step_pads_odd_resolution(rng):
+    """Non-multiple-of-8 resolutions validate via InputPadder pad/unpad
+    around the forward (reference src/modules/raft_spline.py:114-154)."""
+    cfg = tiny_cfg()
+    tc = RAFTTrainConfig(use_scheduler=False)
+    h, w = 28, 30  # pads to 32x32
+    state = create_raft_state(cfg, tc, jax.random.PRNGKey(0), (32, 32))
+    m = 2
+    batch = {
+        "ev_repr": jnp.asarray(rng.normal(size=(1, cfg.nbins_total, h, w))
+                               .astype(np.float32)),
+        "flow": jnp.asarray(rng.normal(size=(1, m, 2, h, w)).astype(np.float32)),
+        "flow_valid": jnp.asarray(rng.uniform(size=(1, m, h, w)) > 0.3),
+    }
+    ts = tuple(np.linspace(0, 1, m + 1)[1:].tolist())
+    logs = raft_validation_step(state, batch, cfg, ts,
+                                min_traj_len=0.1, max_traj_len=50.0)
+    for key in ("val/epe", "val/masked_TEPE", "val/ev_masked_epe_multi"):
+        assert key in logs and np.isfinite(float(logs[key])), key

@@ -30,6 +30,13 @@ def test_traj_train_smoke(tmp_path):
         "model.num_iter.train=1",
         "model.bezier_degree=2",
         "model.num_bins.context=41",
+        # The measured single-chip batch-6 recipe's knobs (CLAUDE.md) must be
+        # reachable via dotted overrides (round-1 gap: RAFTTrainConfig /
+        # RAFTSplineConfig were built without them).
+        "model.corr_dtype=bfloat16",
+        "model.freeze_bn=true",
+        "model.remat_encoders=true",
+        "training.accumulate_steps=2",
     ])
     assert rc == 0
     assert (tmp_path / "run" / "scalars.jsonl").exists()
