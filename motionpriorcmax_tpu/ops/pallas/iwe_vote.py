@@ -2,8 +2,9 @@
 
 The XLA formulation (ops/events.py::iwe_bilinear_vote_matmul) materializes
 the per-block two-tap matrices A [E, H] / B [E, W] in HBM between the
-comparison ops and the dot — measured ~6x off MXU roofline.  Here each
-program builds the tap tiles directly in VMEM and feeds the MXU:
+comparison ops and the dot — at DSEC b4 x 1M scale that is ~19 GB of HBM
+traffic (~23 ms at v5e bandwidth), comparable to the matmul time itself.
+Here each program builds the tap tiles directly in VMEM and feeds the MXU:
 
     out [H, W] += A_t [H, E] @ B [E, W]
     A_t[h, e] = ay0_e*[h==y1_e] + ay1_e*[h==y1_e+1]   (v and the row
@@ -21,9 +22,13 @@ Backward (custom VJP — Pallas has no autodiff): per event block
 with the tap selections Σ_h dA_t ⊙ onehot = one VPU reduction each; dv
 comes from the same selections scaled by the raw (weight-free) tap values.
 
-Layouts: E is the lane dim of all per-event vectors ((1, 1, E) blocks);
-A_t keeps H on sublanes / E on lanes, B keeps E on sublanes / W on lanes —
-all 8/128-aligned for the H/W padding the wrapper applies.
+Layouts: per-event vectors are staged as [B, nb, KB, BE] so each program's
+block is (1, 1, KB, BE) — the trailing (KB=8, BE=1024) tile satisfies the
+Mosaic (8, 128) divisibility rule (a flat (1, 1, E) layout does NOT lower
+on real TPUs once nb > 1).  The kernel unrolls KB sub-blocks of BE events,
+each one MXU dot of A_t [Hp, BE] @ B [BE, Wp]; A_t keeps H on sublanes / E
+on lanes, B keeps E on sublanes / W on lanes — all 8/128-aligned for the
+H/W padding the wrapper applies.
 """
 
 from __future__ import annotations
@@ -34,9 +39,12 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-# Events per program.  A_t [Hp, E] + B [E, Wp] bf16 tiles must fit VMEM a
-# few times over alongside the [Hp, Wp] f32 accumulator.
+# Events per MXU dot (lane-dim of the per-event vectors) and sub-blocks per
+# program: each program handles KB * BE events.  A_t [Hp, BE] + B [BE, Wp]
+# bf16 tiles must fit VMEM a few times over alongside the [Hp, Wp] f32
+# accumulator (~3.5 MB total at 480x640).
 BE = 1024
+KB = 8
 
 
 def _taps(coords_yx, weight, height, width):
@@ -63,17 +71,21 @@ def _taps(coords_yx, weight, height, width):
             mx0, mx1, wy0 * m0, wy1 * m1)                # wy0m0, wy1m1
 
 
+def _row(ref, j):
+    """[1, 1, KB, BE] ref -> [1, BE] row j (static j)."""
+    return ref[0, 0, j, :].reshape(1, BE)
+
+
 def _build_tiles(y1_ref, x1_ref, ay0_ref, ay1_ref, bx0_ref, bx1_ref,
-                 hp, wp, dtype):
-    e = y1_ref.shape[-1]
-    rows = jax.lax.broadcasted_iota(jnp.int32, (hp, e), 0)
-    y1 = y1_ref[0, 0:1, :]                                   # [1, E]
-    a_t = (jnp.where(rows == y1, ay0_ref[0, 0:1, :], 0.0)
-           + jnp.where(rows == y1 + 1, ay1_ref[0, 0:1, :], 0.0))
-    cols = jax.lax.broadcasted_iota(jnp.int32, (e, wp), 1)
-    x1 = jnp.transpose(x1_ref[0, 0:1, :])                    # [E, 1]
-    b = (jnp.where(cols == x1, jnp.transpose(bx0_ref[0, 0:1, :]), 0.0)
-         + jnp.where(cols == x1 + 1, jnp.transpose(bx1_ref[0, 0:1, :]), 0.0))
+                 j, hp, wp, dtype):
+    rows = jax.lax.broadcasted_iota(jnp.int32, (hp, BE), 0)
+    y1 = _row(y1_ref, j)                                     # [1, E]
+    a_t = (jnp.where(rows == y1, _row(ay0_ref, j), 0.0)
+           + jnp.where(rows == y1 + 1, _row(ay1_ref, j), 0.0))
+    cols = jax.lax.broadcasted_iota(jnp.int32, (BE, wp), 1)
+    x1 = jnp.transpose(_row(x1_ref, j))                      # [E, 1]
+    b = (jnp.where(cols == x1, jnp.transpose(_row(bx0_ref, j)), 0.0)
+         + jnp.where(cols == x1 + 1, jnp.transpose(_row(bx1_ref, j)), 0.0))
     return a_t.astype(dtype), b.astype(dtype)
 
 
@@ -86,45 +98,53 @@ def _fwd_kernel(y1_ref, x1_ref, ay0_ref, ay1_ref, bx0_ref, bx1_ref, out_ref,
     def _init():
         out_ref[0] = jnp.zeros((hp, wp), jnp.float32)
 
-    a_t, b = _build_tiles(y1_ref, x1_ref, ay0_ref, ay1_ref, bx0_ref, bx1_ref,
-                          hp, wp, compute_dtype)
-    out_ref[0] = out_ref[0] + jnp.dot(a_t, b,
-                                      preferred_element_type=jnp.float32)
+    acc = out_ref[0]
+    for j in range(KB):
+        a_t, b = _build_tiles(y1_ref, x1_ref, ay0_ref, ay1_ref, bx0_ref,
+                              bx1_ref, j, hp, wp, compute_dtype)
+        acc = acc + jnp.dot(a_t, b, preferred_element_type=jnp.float32)
+    out_ref[0] = acc
 
 
 def _bwd_kernel(y1_ref, x1_ref, ay0_ref, ay1_ref, bx0_ref, bx1_ref,
                 vm0_ref, vm1_ref, mx0_ref, mx1_ref, wy0m0_ref, wy1m1_ref,
                 g_ref, dfy_ref, dfx_ref, dv_ref, *, compute_dtype):
+    # NOTE an [E, hp]/[E, wp] tile layout with two standard lane-contraction
+    # dots (g pre-transposed outside) was tried and measured SLOWER (221 vs
+    # 177 ms standalone at b4 x 1M) than letting Mosaic handle these
+    # dot_general contractions — keep this formulation.
     hp, wp = g_ref.shape[1], g_ref.shape[2]
-    e = y1_ref.shape[-1]
-    a_t, b = _build_tiles(y1_ref, x1_ref, ay0_ref, ay1_ref, bx0_ref, bx1_ref,
-                          hp, wp, compute_dtype)
     g = g_ref[0].astype(compute_dtype)
+    for j in range(KB):
+        a_t, b = _build_tiles(y1_ref, x1_ref, ay0_ref, ay1_ref, bx0_ref,
+                              bx1_ref, j, hp, wp, compute_dtype)
 
-    # dA_t [Hp, E] = G [Hp, Wp] . B [E, Wp] contracted over W.
-    da_t = jax.lax.dot_general(g, b, (((1,), (1,)), ((), ())),
-                               preferred_element_type=jnp.float32)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (hp, e), 0)
-    y1 = y1_ref[0, 0:1, :]
-    sel0 = jnp.sum(jnp.where(rows == y1, da_t, 0.0), axis=0,
-                   keepdims=True)                                 # [1, E]
-    sel1 = jnp.sum(jnp.where(rows == y1 + 1, da_t, 0.0), axis=0,
-                   keepdims=True)
-    dfy_ref[0] = sel1 * vm1_ref[0, 0:1, :] - sel0 * vm0_ref[0, 0:1, :]
-    dv_ref[0] = (sel0 * wy0m0_ref[0, 0:1, :] + sel1 * wy1m1_ref[0, 0:1, :])
+        # dA_t [Hp, E] = G [Hp, Wp] . B [E, Wp] contracted over W.
+        da_t = jax.lax.dot_general(g, b, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (hp, BE), 0)
+        y1 = _row(y1_ref, j)
+        sel0 = jnp.sum(jnp.where(rows == y1, da_t, 0.0), axis=0,
+                       keepdims=True)                             # [1, E]
+        sel1 = jnp.sum(jnp.where(rows == y1 + 1, da_t, 0.0), axis=0,
+                       keepdims=True)
+        dfy_ref[0, 0, j, :] = (sel1 * _row(vm1_ref, j)
+                               - sel0 * _row(vm0_ref, j)).reshape(BE)
+        dv_ref[0, 0, j, :] = (sel0 * _row(wy0m0_ref, j)
+                              + sel1 * _row(wy1m1_ref, j)).reshape(BE)
 
-    # dB [E, Wp] = A_t [Hp, E] . G [Hp, Wp] contracted over H.
-    db = jax.lax.dot_general(a_t, g, (((0,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (e, wp), 1)
-    x1 = jnp.transpose(x1_ref[0, 0:1, :])
-    selx0 = jnp.sum(jnp.where(cols == x1, db, 0.0), axis=1,
-                    keepdims=True)                                # [E, 1]
-    selx1 = jnp.sum(jnp.where(cols == x1 + 1, db, 0.0), axis=1,
-                    keepdims=True)
-    dfx = (selx1 * jnp.transpose(mx1_ref[0, 0:1, :])
-           - selx0 * jnp.transpose(mx0_ref[0, 0:1, :]))          # [E, 1]
-    dfx_ref[0] = jnp.transpose(dfx)
+        # dB [E, Wp] = A_t [Hp, E] . G [Hp, Wp] contracted over H.
+        db = jax.lax.dot_general(a_t, g, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (BE, wp), 1)
+        x1 = jnp.transpose(_row(x1_ref, j))
+        selx0 = jnp.sum(jnp.where(cols == x1, db, 0.0), axis=1,
+                        keepdims=True)                            # [E, 1]
+        selx1 = jnp.sum(jnp.where(cols == x1 + 1, db, 0.0), axis=1,
+                        keepdims=True)
+        dfx = (selx1 * jnp.transpose(_row(mx1_ref, j))
+               - selx0 * jnp.transpose(_row(mx0_ref, j)))         # [E, 1]
+        dfx_ref[0, 0, j, :] = jnp.transpose(dfx).reshape(BE)
 
 
 def _pad_round(n, mult):
@@ -132,19 +152,19 @@ def _pad_round(n, mult):
 
 
 def _prep(coords_yx, weight, height, width):
-    """[B, M, 2], [B, M] -> 12 arrays [B, nb, BE] (+ block count)."""
+    """[B, M, 2], [B, M] -> 12 arrays [B, nb, KB, BE] (+ block count)."""
     bsz, m = weight.shape
-    mp = _pad_round(m, BE)
+    mp = _pad_round(m, KB * BE)
     if mp != m:
         coords_yx = jnp.pad(coords_yx, ((0, 0), (0, mp - m), (0, 0)))
         weight = jnp.pad(weight, ((0, 0), (0, mp - m)))
-    nb = mp // BE
+    nb = mp // (KB * BE)
     parts = _taps(coords_yx, weight, height, width)
-    return tuple(p.reshape(bsz, nb, BE) for p in parts), nb
+    return tuple(p.reshape(bsz, nb, KB, BE) for p in parts), nb
 
 
 def _evt_spec():
-    return pl.BlockSpec((1, 1, BE), lambda gi, qi: (gi, qi, 0))
+    return pl.BlockSpec((1, 1, KB, BE), lambda gi, qi: (gi, qi, 0, 0))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
@@ -186,13 +206,13 @@ def _vjp_bwd(height, width, compute_dtype, interpret, residuals, g_out):
         in_specs=[_evt_spec() for _ in range(12)] + [
             pl.BlockSpec((1, hp, wp), lambda gi, qi: (gi, 0, 0))],
         out_specs=[_evt_spec() for _ in range(3)],
-        out_shape=[jax.ShapeDtypeStruct((bsz, nb, BE), jnp.float32)
+        out_shape=[jax.ShapeDtypeStruct((bsz, nb, KB, BE), jnp.float32)
                    for _ in range(3)],
         interpret=interpret,
     )(*parts, g_pad)
 
     def unpad(a):
-        return a.reshape(bsz, nb * BE)[:, :m]
+        return a.reshape(bsz, nb * KB * BE)[:, :m]
 
     dcoords = jnp.stack([unpad(dfy), unpad(dfx)], axis=-1)
     return dcoords, unpad(dv)

@@ -73,22 +73,34 @@ def _tile_band(band_ref, q_ref, n):
     return t_lo, t_hi
 
 
+def _exp_weights(q_ref, db_ref, temp, t):
+    """w [BQ, BN] = exp(-||q - d||^2 / temp) for database tile t.
+
+    The squared distance is expanded as q.q + d.d - 2 q.d so the cross term
+    rides the (otherwise idle) MXU as a rank-2 matmul — the naive
+    sub/mul/add build is ~8 VPU ops per element and put the whole kernel at
+    VPU roofline; this form is mul+add+add+exp (~4), with the row/col norms
+    amortized over the tile.
+    """
+    qt = jnp.transpose(q_ref[:, :])                  # [BQ, 2]
+    dbt = db_ref[0, :, pl.ds(t * BN, BN)]            # [2, BN]
+    cross = jnp.dot(qt, dbt, preferred_element_type=jnp.float32)  # [BQ, BN]
+    qn = jnp.sum(qt * qt, axis=1, keepdims=True)     # [BQ, 1]
+    dn = jnp.sum(dbt * dbt, axis=0, keepdims=True)   # [1, BN]
+    inv_t = 1.0 / temp
+    return jnp.exp((2.0 * cross - qn - dn) * inv_t)
+
+
 def _fwd_kernel(temp_ref, band_ref, q_ref, db_ref, vals_ref, out_ref):
     """q_ref [2, BQ]; db_ref [1, 2, N]; vals_ref [1, C1, N]; out [1, C1, BQ]."""
     temp = temp_ref[0, 0]
     c1 = vals_ref.shape[1]
     n = db_ref.shape[2]
-    qy = q_ref[0:1, :]                      # [1, BQ]
-    qx = q_ref[1:2, :]
     t_lo, t_hi = _tile_band(band_ref, q_ref, n)
 
     def body(t, acc):
-        dby = db_ref[0, 0:1, pl.ds(t * BN, BN)]      # [1, BN]
-        dbx = db_ref[0, 1:2, pl.ds(t * BN, BN)]
         vals_t = vals_ref[0, :, pl.ds(t * BN, BN)]   # [C1, BN]
-        dy = jnp.transpose(qy) - dby                 # [BQ, BN]
-        dx = jnp.transpose(qx) - dbx
-        w = jnp.exp(-(dy * dy + dx * dx) / temp)     # [BQ, BN]
+        w = _exp_weights(q_ref, db_ref, temp, t)     # [BQ, BN]
         # acc [C1, BQ] += vals_t [C1, BN] @ w^T [BN, BQ]
         return acc + jax.lax.dot_general(
             vals_t, w, (((1,), (1,)), ((), ())),
@@ -105,8 +117,6 @@ def _bwd_kernel(temp_ref, band_ref, q_ref, db_ref, gden_ref, dvals_ref):
     temp = temp_ref[0, 0]
     i = pl.program_id(1)
     n = db_ref.shape[2]
-    qy = q_ref[0:1, :]
-    qx = q_ref[1:2, :]
     t_lo, t_hi = _tile_band(band_ref, q_ref, n)
 
     @pl.when(i == 0)
@@ -116,11 +126,7 @@ def _bwd_kernel(temp_ref, band_ref, q_ref, db_ref, gden_ref, dvals_ref):
     g_scaled = gden_ref[0, :, :]                     # [C, BQ] (pre-divided)
 
     def body(t, _):
-        dby = db_ref[0, 0:1, pl.ds(t * BN, BN)]
-        dbx = db_ref[0, 1:2, pl.ds(t * BN, BN)]
-        dy = jnp.transpose(qy) - dby
-        dx = jnp.transpose(qx) - dbx
-        w = jnp.exp(-(dy * dy + dx * dx) / temp)     # [BQ, BN]
+        w = _exp_weights(q_ref, db_ref, temp, t)     # [BQ, BN]
         upd = jnp.dot(g_scaled, w, preferred_element_type=jnp.float32)
         dvals_ref[0, :, pl.ds(t * BN, BN)] = (
             dvals_ref[0, :, pl.ds(t * BN, BN)] + upd)

@@ -188,3 +188,43 @@ def test_iwe_batch_matmul_impl(rng):
     b = np.asarray(iwe_bilinear_vote_batch(coords, wgt, height=12, width=12,
                                            scatter_impl="matmul"))
     np.testing.assert_allclose(b, a, atol=0.05)
+
+
+def test_grid_gather_matmul_bwd_matches_native(rng):
+    """grid_gather with the MXU one-hot matmul backward reproduces the
+    native scatter-add transpose (the flow-LUT warp gather's VJP)."""
+    import jax
+    import jax.numpy as jnp
+
+    from motionpriorcmax_tpu.ops.events import grid_gather, _segment_sum_matmul
+
+    b, r, x, c, m = 2, 18, 10, 2, 700
+    grid = rng.normal(size=(b, r, x, c)).astype(np.float32)
+    ri = rng.integers(0, r, (b, m)).astype(np.int32)
+    ci = rng.integers(0, x, (b, m)).astype(np.int32)
+    gout = rng.normal(size=(b, m, c)).astype(np.float32)
+
+    out_m = grid_gather(jnp.asarray(grid), jnp.asarray(ri), jnp.asarray(ci),
+                        "matmul")
+    out_n = grid_gather(jnp.asarray(grid), jnp.asarray(ri), jnp.asarray(ci),
+                        "native")
+    np.testing.assert_allclose(np.asarray(out_m), np.asarray(out_n))
+    # Forward IS the gather.
+    np.testing.assert_allclose(
+        np.asarray(out_m), grid[np.arange(b)[:, None], ri, ci])
+
+    def loss(g, impl):
+        out = grid_gather(g, jnp.asarray(ri), jnp.asarray(ci), impl)
+        return jnp.sum(out * jnp.asarray(gout))
+
+    g_m = np.asarray(jax.grad(lambda g: loss(g, "matmul"))(jnp.asarray(grid)))
+    g_n = np.asarray(jax.grad(lambda g: loss(g, "native"))(jnp.asarray(grid)))
+    # Default bf16 folding of the cotangent: ~3 decimal digits.
+    np.testing.assert_allclose(g_m, g_n, atol=2e-2 * np.abs(g_n).max())
+
+    # f32 compute is exact up to float sum ordering.
+    seg = jax.vmap(lambda a, bb, g: _segment_sum_matmul(
+        a, bb, g, num_rows=r, num_cols=x, block_size=256,
+        compute_dtype=jnp.float32))(jnp.asarray(ri), jnp.asarray(ci),
+                                    jnp.asarray(gout))
+    np.testing.assert_allclose(np.asarray(seg), g_n, atol=1e-5)

@@ -59,3 +59,34 @@ def test_pallas_vote_nonmultiple_m(rng):
     want = np.asarray(scatter_batch(coords, wgt))
     got = np.asarray(iwe_vote_pallas(coords, wgt, H, W, jnp.float32, True))
     np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_pallas_vote_multiblock(rng):
+    """M spanning several (KB * BE) grid steps — the production regime.
+
+    The original kernel used (1, 1, BE) event blocks, which Mosaic refuses
+    to lower once the block count exceeds 1 (the (8, 128) trailing-tile
+    rule); every test sat below one block so the failure only appeared on
+    the real chip at 1M events.  This pins the multi-block path, including
+    gradients, in interpret mode."""
+    from motionpriorcmax_tpu.ops.pallas.iwe_vote import BE, KB
+
+    m = 2 * KB * BE + 123
+    coords, wgt = make_inputs(rng, b=2, m=m)
+    want = np.asarray(scatter_batch(coords, wgt))
+    got = np.asarray(iwe_vote_pallas(coords, wgt, H, W, jnp.float32, True))
+    np.testing.assert_allclose(got, want, atol=1e-3)
+
+    def loss_ref(c, w):
+        return jnp.sum(jnp.square(scatter_batch(c, w)))
+
+    def loss_pal(c, w):
+        return jnp.sum(jnp.square(iwe_vote_pallas(c, w, H, W, jnp.float32,
+                                                  True)))
+
+    gc_r, gw_r = jax.grad(loss_ref, argnums=(0, 1))(coords, wgt)
+    gc_p, gw_p = jax.grad(loss_pal, argnums=(0, 1))(coords, wgt)
+    np.testing.assert_allclose(np.asarray(gc_p), np.asarray(gc_r),
+                               atol=5e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(gw_p), np.asarray(gw_r),
+                               atol=5e-3, rtol=1e-3)
