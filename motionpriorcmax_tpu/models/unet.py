@@ -36,9 +36,13 @@ class DoubleConv(nn.Module):
         for ch in (mid, self.out_channels):
             x = nn.Conv(ch, (3, 3), padding=1, use_bias=False,
                         dtype=self.dtype)(x)
-            # BN statistics stay f32 regardless of compute dtype.
+            # BN runs in the compute dtype; flax computes the STATISTICS in
+            # float32 regardless (linen normalization internals), so this
+            # only moves the normalize/scale math to bf16.  A forced-f32 BN
+            # materialized every activation twice per conv in f32 — profiled
+            # at ~16 ms/step of pure convert_bitcast fusions at b4 DSEC.
             x = nn.BatchNorm(use_running_average=self.use_running_average,
-                             momentum=0.9, epsilon=1e-5, dtype=jnp.float32)(x)
+                             momentum=0.9, epsilon=1e-5, dtype=self.dtype)(x)
             x = nn.relu(x).astype(self.dtype)
         return x
 
@@ -50,7 +54,14 @@ class Down(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        # 2x2 max pool as reshape+max: reduce_window's backward is a
+        # select_and_scatter (slow on TPU, ~14 ms/step of pad_maximum +
+        # select_reduce + select_and_scatter fusions profiled at b4 DSEC);
+        # the reshape form backpropagates as a cheap select.  Odd trailing
+        # rows/cols are dropped first, matching stride-2 floor windowing.
+        b, h, w, c = x.shape
+        x = x[:, :h // 2 * 2, :w // 2 * 2]
+        x = x.reshape(b, h // 2, 2, w // 2, 2, c).max(axis=(2, 4))
         return DoubleConv(self.out_channels,
                           use_running_average=self.use_running_average,
                           dtype=self.dtype)(x)

@@ -407,7 +407,11 @@ def _grid_gather_fwd(grid, rows_idx, cols_idx, bwd_impl):
 
 def _grid_gather_bwd(bwd_impl, residuals, g_out):
     (b, r, x, c), rows_idx, cols_idx = residuals
-    if bwd_impl == "matmul":
+    if bwd_impl == "pallas":
+        from .pallas.iwe_vote import segment_sum_pallas
+
+        d_grid = segment_sum_pallas(rows_idx, cols_idx, g_out, r, x)
+    elif bwd_impl == "matmul":
         d_grid = jax.vmap(
             lambda ri, ci, g: _segment_sum_matmul(ri, ci, g, num_rows=r,
                                                   num_cols=x)

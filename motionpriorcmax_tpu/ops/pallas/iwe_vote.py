@@ -219,3 +219,28 @@ def _vjp_bwd(height, width, compute_dtype, interpret, residuals, g_out):
 
 
 iwe_vote_pallas.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def segment_sum_pallas(rows_idx, cols_idx, grads, num_rows: int,
+                       num_cols: int, interpret: bool = False):
+    """out[b, r, x, c] = sum_e [rows_idx==r][cols_idx==x] grads[b, e, c].
+
+    The grid-gather backward (transpose of the flow-LUT lookup) as the SAME
+    one-hot-matmul Pallas kernel as the IWE vote: integer coordinates make
+    the floor(+1e-6) bilinear taps degenerate to exact one-hots (frac = 0
+    -> tap weights (1, 0)), so `iwe_vote_pallas` over a [num_rows,
+    num_cols] "image" IS a 2-D-factorized segment sum — tap tiles built in
+    VMEM, accumulation on the MXU.  One kernel call per channel.
+
+    Args:
+      rows_idx, cols_idx: [B, M] int32, pre-clipped to range.
+      grads: [B, M, C] per-event cotangents.
+    Returns:
+      [B, num_rows, num_cols, C] float32.
+    """
+    coords = jnp.stack([rows_idx.astype(jnp.float32),
+                        cols_idx.astype(jnp.float32)], axis=-1)
+    outs = [iwe_vote_pallas(coords, grads[..., c], num_rows, num_cols,
+                            jnp.bfloat16, interpret)
+            for c in range(grads.shape[-1])]
+    return jnp.stack(outs, axis=-1)

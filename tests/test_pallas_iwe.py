@@ -90,3 +90,21 @@ def test_pallas_vote_multiblock(rng):
                                atol=5e-3, rtol=1e-3)
     np.testing.assert_allclose(np.asarray(gw_p), np.asarray(gw_r),
                                atol=5e-3, rtol=1e-3)
+
+
+def test_segment_sum_pallas_matches_scatter(rng):
+    """The one-hot-matmul segment sum (grid-gather backward) vs a plain
+    scatter-add, interpret mode."""
+    from motionpriorcmax_tpu.ops.pallas.iwe_vote import segment_sum_pallas
+
+    b, r, x, c, m = 2, 16, 12, 2, 900
+    ri = rng.integers(0, r, (b, m)).astype(np.int32)
+    ci = rng.integers(0, x, (b, m)).astype(np.int32)
+    g = rng.normal(size=(b, m, c)).astype(np.float32)
+
+    want = np.zeros((b, r, x, c), np.float32)
+    np.add.at(want, (np.arange(b)[:, None], ri, ci), g)
+
+    got = np.asarray(segment_sum_pallas(jnp.asarray(ri), jnp.asarray(ci),
+                                        jnp.asarray(g), r, x, True))
+    np.testing.assert_allclose(got, want, atol=2e-2 * np.abs(want).max())
