@@ -102,14 +102,18 @@ def bilinear_sample_hw(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.
 
 def _window_lookup(corr_flat: jnp.ndarray, cx: jnp.ndarray, cy: jnp.ndarray,
                    radius: int) -> jnp.ndarray:
-    """Bilinear (2r+1)^2-window lookup via ONE contiguous window gather.
+    """Bilinear (2r+1)^2-window lookup via one-hot window matmuls.
 
     All window offsets are integers, so every sampled point shares the same
-    fractional part: instead of (2r+1)^2 x 4 scattered gathers per query
-    (TPU gathers run at ~tens of M elem/s), gather one integer-aligned
-    [2r+2, 2r+2] window with two CONTIGUOUS-slice take_along_axis calls (row
-    gathers ride HBM bandwidth) and combine the 4 shifted views with the
-    shared bilinear weights on the VPU.  Zero padding outside the map matches
+    fractional part: extract one integer-aligned [2r+2, 2r+2] window per map
+    and combine the 4 shifted views with the shared bilinear weights on the
+    VPU.  The extraction is two batched one-hot matmuls rather than gathers:
+    a take_along_axis pair reads fine, but its AUTODIFF TRANSPOSE is a
+    serialized scatter-add into the corr volume — profiled at b2 EVIMO2
+    scale the backward scan ('while' over 12 GRU iterations) spent ~1.2 s of
+    a 1.47 s train step in those scatter fusions.  One-hot selection is
+    bit-exact (0/1 weights, f32 accumulation) and differentiates into dense
+    matmuls.  Zero rows/cols outside the map match
     grid_sample(padding_mode='zeros').
 
     Args:
@@ -134,13 +138,15 @@ def _window_lookup(corr_flat: jnp.ndarray, cx: jnp.ndarray, cy: jnp.ndarray,
     row_ok = (rows >= 0) & (rows < h2)
     col_ok = (cols >= 0) & (cols < w2)
 
-    rows_c = jnp.clip(rows, 0, h2 - 1)
-    cols_c = jnp.clip(cols, 0, w2 - 1)
-    # Row gather: [N, win, W2] (each gathered element is a contiguous row).
-    band = jnp.take_along_axis(corr_flat, rows_c[:, :, None], axis=1)
-    # Column gather within the band: [N, win, win].
-    window = jnp.take_along_axis(band, cols_c[:, None, :], axis=2)
-    window = jnp.where(row_ok[:, :, None] & col_ok[:, None, :], window, 0.0)
+    dt = corr_flat.dtype
+    h_oh = ((rows[:, :, None] == jnp.arange(h2, dtype=jnp.int32))
+            & row_ok[:, :, None]).astype(dt)                 # [N, win, H2]
+    w_oh = ((cols[:, None, :] == jnp.arange(w2, dtype=jnp.int32)[:, None])
+            & col_ok[:, None, :]).astype(dt)                 # [N, W2, win]
+    band = jnp.einsum("nih,nhw->niw", h_oh, corr_flat,
+                      preferred_element_type=jnp.float32)    # [N, win, W2]
+    window = jnp.einsum("niw,nwj->nij", band.astype(dt), w_oh,
+                        preferred_element_type=jnp.float32)  # [N, win, win]
 
     # Shared-fraction bilinear combine of the 4 shifted (2r+1)^2 views.
     w00 = window[:, :-1, :-1]

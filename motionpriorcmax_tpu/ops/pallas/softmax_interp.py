@@ -197,12 +197,18 @@ def softmax_interp_pallas(queries, db, vals, temp: float = 25.0,
       [G, Q, C] float32.
     """
     num, den = _run_fwd(queries, db, vals, temp, interpret, band)
-    return num / den[..., None]
+    return num / jnp.maximum(den, 1e-30)[..., None]
 
 
 def _vjp_fwd(queries, db, vals, temp, interpret, band):
     num, den = _run_fwd(queries, db, vals, temp, interpret, band)
-    return num / den[..., None], (queries, db, vals, den)
+    # maximum guard: the kernel skips max-subtraction (dist >= 0 keeps
+    # exp <= 1), so a query whose EVERY database point is far (e.g. all
+    # trajectories blown out of the band mid-divergence) underflows den to
+    # exactly 0; 0/0 would poison training with NaNs, 0/1e-30 degrades to
+    # zero flow for that cell.  The backward pre-scale below has always had
+    # the same guard.
+    return num / jnp.maximum(den, 1e-30)[..., None], (queries, db, vals, den)
 
 
 def _vjp_bwd(temp, interpret, band, residuals, g_out):

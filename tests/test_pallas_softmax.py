@@ -83,3 +83,23 @@ def test_band_truncation_matches_full(rng):
                               (40.0, cell, float(gw))) ** 2))(vals)
     np.testing.assert_allclose(np.asarray(g_band), np.asarray(g_full),
                                atol=1e-4, rtol=1e-3)
+
+
+def test_starved_query_gives_zero_not_nan(rng):
+    """A query whose every db point is far away underflows den to 0 (the
+    kernel has no max-subtraction); the result must be 0, not 0/0 = NaN,
+    and gradients must stay finite."""
+    from motionpriorcmax_tpu.ops.pallas.softmax_interp import (
+        softmax_interp_pallas)
+
+    q = jnp.asarray(rng.uniform(0, 8, (4, 2)).astype(np.float32))
+    db = jnp.asarray(rng.uniform(5000, 6000, (1, 8, 2)).astype(np.float32))
+    vals = jnp.asarray(rng.normal(size=(1, 8, 3)).astype(np.float32))
+
+    out = softmax_interp_pallas(q, db, vals, 25.0, True)
+    assert np.all(np.isfinite(np.asarray(out)))
+    assert np.allclose(np.asarray(out), 0.0)
+
+    g = jax.grad(lambda v: jnp.sum(
+        softmax_interp_pallas(q, db, v, 25.0, True) ** 2))(vals)
+    assert np.all(np.isfinite(np.asarray(g)))
