@@ -32,8 +32,13 @@ def main():
 
     h, w, nbins = 480, 640, 15
     # Production operating point: the flow-train CLI pads DSEC windows to a
-    # 2^20 event capacity (cli/main.py --event-capacity default); batch 4.
-    batch, m = 4, 1 << 20
+    # 2^20 event capacity (cli/main.py --event-capacity default).  Batch 8 —
+    # the nearest power of two to the reference's 7 samples/GPU — fills the
+    # TPU (8, 128) sublane tiles exactly; measured ladder at 1M events/sample
+    # (2026-08-17): b4 310 ms/13.5 M | b6 489/12.9 | b8 459/18.3 |
+    # b12 753/16.7 | b16 890/18.9 M events/s (non-power-of-two batches lay
+    # out badly).
+    batch, m = 8, 1 << 20
 
     import os
 

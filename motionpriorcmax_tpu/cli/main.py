@@ -19,7 +19,11 @@ def _flow_cfgs(config: dict):
         image_shape=tuple(mc["image_shape"]), lr=mc["lr"],
         num_bins=mc["num_bins"], num_basis=mc["num_basis"],
         patch_size=mc["patch_size"], model_type=mc.get("model_type", "default"),
-        basis_type=mc["basis_type"], skip_frames=mc.get("skip_frames", 1))
+        basis_type=mc["basis_type"], skip_frames=mc.get("skip_frames", 1),
+        # `model.compute_dtype: bfloat16` is the measured production point
+        # (bf16 convs on the MXU, f32 params/BN stats/loss — see bench.py);
+        # float32 default for reference parity.
+        compute_dtype=mc.get("compute_dtype", "float32"))
     loss_cfg = make_loss(lc["loss_name"], image_shape=tuple(lc["image_shape"]),
                          **{k: v for k, v in lc.items()
                             if k not in ("loss_name", "image_shape")})
