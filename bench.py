@@ -67,10 +67,20 @@ def main():
     p = rng.integers(0, 2, (batch, m)).astype(np.float32)
     b = np.clip((t * nbins).astype(np.int32), 0, nbins - 1)
     events = np.stack([y, x, t, p, b, np.ones((batch, m))], -1).astype(np.float32)
+    # Cell-sort events + LUT boundaries on the host, exactly as the loaders
+    # do per batch (data/host_ops.py::lut_cell_sort, overlapped with device
+    # compute by the prefetch threads): the focus-loss gather backward then
+    # runs as an O(M) cumsum difference instead of dense one-hot matmuls.
+    from motionpriorcmax_tpu.data.host_ops import lut_cell_sort
+
+    pairs = [lut_cell_sort(e, (h, w), nbins, lut) for e in events]
+    events = np.stack([p[0] for p in pairs])
+    cell_ends = np.stack([p[1] for p in pairs])
     voxel = rng.normal(size=(batch, nbins, h, w)).astype(np.float32)
     batch_dict = {
         "voxel": jax.device_put(voxel),
         "events": jax.device_put(events),
+        "lut_cell_ends": jax.device_put(cell_ends),
     }
 
     state = create_train_state(cfg, jax.random.PRNGKey(0))

@@ -88,7 +88,13 @@ def cmd_flow_train(args) -> int:
                           polarity_aware=pab, pos_capacity=pos_capacity,
                           capacity_buckets=buckets,
                           shard=(jax.process_index(), n_proc)
-                          if n_proc > 1 else None)
+                          if n_proc > 1 else None,
+                          # Cell-sorted events + boundaries: the focus-loss
+                          # gather backward runs the O(M) sorted segment sum
+                          # (host_ops.lut_cell_sort; ~10x the matmul path).
+                          lut_cell_sort_params=(
+                              loss_cfg.image_shape, loss_cfg.num_bins,
+                              loss_cfg.lut_superpixel_size))
 
     train_loader = make_loader("train", True)
     val_loader = make_loader("val", False)
@@ -402,16 +408,22 @@ def cmd_traj_train(args) -> int:
     capacity = args.event_capacity
     pab = pab and not supervised
     pos_capacity = capacity // 2 if pab else None
-    loader = DataLoader(dataset, batch_size=tcfg["batch_size"],
-                        capacity=capacity, polarity_aware=pab,
-                        pos_capacity=pos_capacity,
-                        num_workers=cfg_tree.get("hardware", {}).get("num_workers", 8))
 
     # Resolution comes from the data, not a hardcode: EVIMO2 resizes to
     # 384x512 (evimo2/datasubset.py:176-189), MultiFlow is 384x512 natively —
     # but a probe sample keeps this correct for any dataset variant.
     image_hw = tuple(dataset[0]["ev_repr"].shape[-2:])
     loss_cfg = make_loss(lc.pop("type", "FOCUS"), image_shape=image_hw, **lc)
+
+    loader = DataLoader(dataset, batch_size=tcfg["batch_size"],
+                        capacity=capacity, polarity_aware=pab,
+                        pos_capacity=pos_capacity,
+                        num_workers=cfg_tree.get("hardware", {}).get("num_workers", 8),
+                        # Cell-sorted events -> O(M) sorted segment sum in
+                        # the focus-loss gather backward (host_ops).
+                        lut_cell_sort_params=None if supervised else (
+                            loss_cfg.image_shape, loss_cfg.num_bins,
+                            loss_cfg.lut_superpixel_size))
 
     state = create_raft_state(cfg, tc, jax.random.PRNGKey(0), image_hw)
     if supervised:
@@ -436,6 +448,9 @@ def cmd_traj_train(args) -> int:
             else:
                 dev_batch = {"ev_repr": jnp.asarray(batch["ev_repr"]),
                              "events": jnp.asarray(batch["events"])}
+                if "lut_cell_ends" in batch:
+                    dev_batch["lut_cell_ends"] = jnp.asarray(
+                        batch["lut_cell_ends"])
             state, logs = step(state, dev_batch, sub)
             n_steps += 1
             if n_steps % args.log_every == 0:

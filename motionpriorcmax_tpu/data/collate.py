@@ -47,6 +47,7 @@ def collate_fixed_capacity(
     polarity_aware: bool = False,
     pos_capacity: Optional[int] = None,
     capacity_buckets: Optional[Sequence[int]] = None,
+    lut_cell_sort_params: Optional[tuple] = None,
 ) -> Dict[str, np.ndarray]:
     """Stack samples into a static-shaped batch dict.
 
@@ -62,6 +63,11 @@ def collate_fixed_capacity(
         instead of always paying `capacity`.  Shapes stay static *per bucket*,
         so jit compiles at most len(buckets) variants; sparse windows stop
         paying full-capacity padding (and full-capacity warp/IWE compute).
+      lut_cell_sort_params: optional (image_shape, num_bins, superpixel).
+        When set, events are sorted by flow-LUT cell (per polarity segment)
+        and the batch carries 'lut_cell_ends' [B, S * num_cells] — the
+        focus-loss gather backward then runs the O(M) sorted segment sum
+        on device (host_ops.lut_cell_sort).
 
     Returns:
       batch dict of stacked numpy arrays; 'num_pos_events' is a python int
@@ -98,6 +104,15 @@ def collate_fixed_capacity(
                 max(len(s["events"]) for s in samples), capacity_buckets)
         ev = [pad_events(s["events"], capacity) for s in samples]
     if ev is not None:
+        if lut_cell_sort_params is not None:
+            from .host_ops import lut_cell_sort
+
+            image_shape, num_bins, superpixel = lut_cell_sort_params
+            npos = batch.get("num_pos_events", -1) if polarity_aware else -1
+            pairs = [lut_cell_sort(e, image_shape, num_bins, superpixel,
+                                   num_pos_events=npos) for e in ev]
+            ev = [p[0] for p in pairs]
+            batch["lut_cell_ends"] = np.stack([p[1] for p in pairs], axis=0)
         batch["events"] = np.stack(ev, axis=0)
 
     for key in ("voxel", "forward_flow", "flow_valid", "timestamp",

@@ -91,3 +91,65 @@ def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     ys = np.minimum((np.arange(out_h) * h // out_h), h - 1)
     xs = np.minimum((np.arange(out_w) * w // out_w), w - 1)
     return img[..., ys[:, None], xs[None, :]]
+
+
+def lut_cell_keys(events: np.ndarray, image_shape, num_bins: int,
+                  superpixel: int) -> tuple[np.ndarray, int]:
+    """Flat flow-LUT cell id per event row, exactly mirroring the device
+    indexing in losses/focus.py::warp_events' sorted branch.
+
+    The key is Y-MAJOR — (y // s, bin, x // s) — not bin-major: sorting by
+    it keeps the flat ids ascending for the cumsum segment sum against a
+    [Hq, n_bins, Wq]-transposed LUT, AND packs each sub-block of sorted
+    events into a ~2-superpixel-row strip of the image, which bounds the
+    warped-row extent for the banded IWE vote kernel
+    (ops/pallas/iwe_vote.py).  events: [m, 6] rows (y, x, t, p, bin, valid).
+    """
+    h, w = image_shape
+    hq, wq = -(-h // superpixel), -(-w // superpixel)
+    s = np.float32(superpixel)
+    it = np.clip(events[:, 4].astype(np.int64), 0, num_bins - 1)
+    iy = np.clip(np.floor(events[:, 0].astype(np.float32) / s).astype(np.int64),
+                 0, hq - 1)
+    ix = np.clip(np.floor(events[:, 1].astype(np.float32) / s).astype(np.int64),
+                 0, wq - 1)
+    return (iy * num_bins + it) * wq + ix, num_bins * hq * wq
+
+
+def lut_cell_sort(events: np.ndarray, image_shape, num_bins: int,
+                  superpixel: int, num_pos_events: int = -1
+                  ) -> tuple[np.ndarray, np.ndarray]:
+    """Sort padded events by flat LUT cell id; emit segment boundaries.
+
+    Event order is semantically irrelevant to the focus loss (the IWE vote
+    and all per-event weights are order-independent sums), but CELL-SORTED
+    events turn the LUT-gather backward into an O(M) cumsum difference on
+    device (ops/events.py::_segment_sum_sorted) instead of dense one-hot
+    matmuls — the sort happens once per batch on the host, overlapped with
+    device compute by the prefetch loader.
+
+    With polarity-aware batching (positives packed first at a static
+    capacity) each polarity half is sorted separately so the packing
+    invariant survives; `cell_ends` then carries S=2 concatenated boundary
+    arrays (globally ascending).
+
+    Args:
+      events: [m, 6] padded rows (y, x, t, p, bin, valid).
+      num_pos_events: static positive capacity (segment split), or -1.
+
+    Returns:
+      (events_sorted [m, 6], cell_ends [S * num_cells] int32).
+    """
+    m = len(events)
+    keys, num_cells = lut_cell_keys(events, image_shape, num_bins, superpixel)
+    starts = [0] if num_pos_events < 0 else [0, num_pos_events]
+    bounds = starts + [m]
+    out = np.empty_like(events)
+    ends_all = []
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        order = np.argsort(keys[lo:hi], kind="stable")
+        out[lo:hi] = events[lo:hi][order]
+        k_sorted = keys[lo:hi][order]
+        ends_all.append(lo + np.searchsorted(
+            k_sorted, np.arange(num_cells), side="right"))
+    return out, np.concatenate(ends_all).astype(np.int32)

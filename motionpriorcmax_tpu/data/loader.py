@@ -31,7 +31,8 @@ class DataLoader:
                  prefetch: int = 2,
                  collate_fn: Optional[Callable] = None,
                  capacity_buckets: Optional[Sequence[int]] = None,
-                 shard: Optional[tuple] = None):
+                 shard: Optional[tuple] = None,
+                 lut_cell_sort_params: Optional[tuple] = None):
         self.dataset = dataset
         # (rank, world): distributed sampler — all processes shuffle the SAME
         # order (shared seed) then stride-slice it, so host-local batches
@@ -50,7 +51,8 @@ class DataLoader:
         self.collate_fn = collate_fn or (
             lambda samples: collate_fixed_capacity(
                 samples, capacity, polarity_aware, pos_capacity,
-                capacity_buckets=capacity_buckets))
+                capacity_buckets=capacity_buckets,
+                lut_cell_sort_params=lut_cell_sort_params))
         self._epoch = 0
 
     def __len__(self) -> int:

@@ -100,6 +100,14 @@ class FocusLossConfig:
     # ops/events.py::iwe_bilinear_vote_matmul).  None = auto: 'matmul' on
     # the TPU backend, 'direct' elsewhere.
     iwe_impl: Optional[str] = None
+    # Row-band (pixels, rounded up to 8) of the banded Pallas vote used when
+    # events arrive cell-sorted (lut_cell_ends in the batch): each 1024-event
+    # sub-block then sits in a ~2-superpixel strip, so its warped taps span
+    # <= strip + 2*max displacement rows (DSEC caps at 60 px -> 128 + slack).
+    # Exact: a lax.cond falls back to the full-height kernel whenever any
+    # sub-block exceeds the band (ops/pallas/iwe_vote.py).  0 disables
+    # (golden-tested but not yet measured faster end-to-end on the chip).
+    vote_band_px: int = 0
 
     # The trajectories handed to `focus_loss` must include pixel offsets
     # (reference TrajectoryLossBase.is_needing_offsets, focus.py:46).
@@ -330,7 +338,8 @@ def _softmax_interpolate_flow(cfg: FocusLossConfig, grid_points: jnp.ndarray,
 
 
 def warp_events(cfg: FocusLossConfig, events: jnp.ndarray,
-                flow_lut: jnp.ndarray) -> jnp.ndarray:
+                flow_lut: jnp.ndarray,
+                cell_ends: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Warp each event by its LUT cell's flow to every reference time.
 
     Reference: focus.py:182-195 — LUT lookup by (bin, y // s, x // s).
@@ -338,6 +347,11 @@ def warp_events(cfg: FocusLossConfig, events: jnp.ndarray,
     Args:
       events: [B, M, 6] rows (y, x, t, p, bin, valid).
       flow_lut: [B, n_bins, Hq, Wq, n_tref, 2].
+      cell_ends: [B, S * n_bins * Hq * Wq] int32 LUT-cell right boundaries
+        when events are pre-sorted by flat LUT cell id per polarity segment
+        (data/host_ops.py::lut_cell_sort) — switches the gather backward to
+        the O(M) cumsum-difference segment sum (~10x the one-hot-matmul
+        path at b8 x 1M on v5e).  None keeps the backend-auto default.
 
     Returns:
       warped: [B, n_tref, M, 6] — warped (y, x) plus original (t, p, bin, valid).
@@ -349,16 +363,30 @@ def warp_events(cfg: FocusLossConfig, events: jnp.ndarray,
     it = events[..., ev_ops.BIN].astype(jnp.int32)
     iy = jnp.floor(events[..., ev_ops.Y] / s).astype(jnp.int32)
     ix = jnp.floor(events[..., ev_ops.X] / s).astype(jnp.int32)
-    rows_idx = jnp.clip(it * hq + iy, 0, n_bins * hq - 1)
     cols_idx = jnp.clip(ix, 0, wq - 1)
 
     # Custom-VJP gather: the forward is a fast XLA gather, but its autodiff
     # transpose is a serialized scatter-add into the LUT (~200 ms at b4 x 1M
     # on v5e — it dominated the train step); grid_gather routes the backward
-    # through blocked one-hot matmuls on the MXU instead (ops/events.py).
-    bwd_impl = "matmul" if jax.default_backend() == "tpu" else "native"
-    lut_grid = flow_lut.reshape(b, n_bins * hq, wq, n_tref * 2)
-    differences = ev_ops.grid_gather(lut_grid, rows_idx, cols_idx, bwd_impl)
+    # through blocked one-hot matmuls on the MXU instead, or — when the
+    # loader cell-sorted the events (cell_ends given) — through the O(M)
+    # cumsum segment sum (ops/events.py).
+    if cell_ends is not None:
+        # Y-MAJOR flat ids (match data/host_ops.py::lut_cell_keys): the
+        # LUT is transposed to [Hq, n_bins, Wq] so the sorted ids stay
+        # ascending; y-major order also gives each block of events a
+        # ~2-superpixel-row warped extent (banded vote kernel).
+        rows_idx = (jnp.clip(iy, 0, hq - 1) * n_bins
+                    + jnp.clip(it, 0, n_bins - 1))
+        lut_grid = jnp.transpose(flow_lut, (0, 2, 1, 3, 4, 5)).reshape(
+            b, hq * n_bins, wq, n_tref * 2)
+        bwd_impl = "sorted"
+    else:
+        rows_idx = jnp.clip(it * hq + iy, 0, n_bins * hq - 1)
+        lut_grid = flow_lut.reshape(b, n_bins * hq, wq, n_tref * 2)
+        bwd_impl = "matmul" if jax.default_backend() == "tpu" else "native"
+    differences = ev_ops.grid_gather(lut_grid, rows_idx, cols_idx, bwd_impl,
+                                     cell_ends)
     differences = differences.reshape(b, m, n_tref, 2)
     # [B, M, n_tref, 2] -> [B, n_tref, M, 2]
     differences = jnp.transpose(differences, (0, 2, 1, 3))
@@ -369,7 +397,7 @@ def warp_events(cfg: FocusLossConfig, events: jnp.ndarray,
 
 
 def make_iwes(cfg: FocusLossConfig, warped: jnp.ndarray, t_ref: jnp.ndarray,
-              num_pos_events: int) -> jnp.ndarray:
+              num_pos_events: int, cell_sorted: bool = False) -> jnp.ndarray:
     """Accumulate warped events into IWEs with validity/dt/border weights.
 
     Reference: focus.py:197-230.  Returns [B*n_tref, H, W] or, with
@@ -404,6 +432,10 @@ def make_iwes(cfg: FocusLossConfig, warped: jnp.ndarray, t_ref: jnp.ndarray,
         impl = "pallas" if jax.default_backend() == "tpu" else "direct"
 
     def vote(c, wgt):
+        if impl == "pallas" and cell_sorted and cfg.vote_band_px > 0:
+            from ..ops.pallas.iwe_vote import iwe_vote_pallas_sorted
+
+            return iwe_vote_pallas_sorted(c, wgt, h, w, cfg.vote_band_px)
         return ev_ops.iwe_bilinear_vote_batch(c, wgt, height=h, width=w,
                                               scatter_impl=impl)
 
@@ -442,6 +474,7 @@ def focus_loss(
     times: jnp.ndarray,
     events: jnp.ndarray,
     num_pos_events: int = -1,
+    cell_ends: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray], Dict[str, jnp.ndarray]]:
     """Compute the focus + smoothness loss.
 
@@ -454,6 +487,8 @@ def focus_loss(
       events: [B, M, 6] event batch, positives packed first when
         polarity_aware_batching (see data/collate.py).
       num_pos_events: static count of positive-event capacity per sample.
+      cell_ends: optional host-precomputed LUT-cell boundaries (events then
+        pre-sorted by LUT cell per polarity segment — see `warp_events`).
 
     Returns:
       (loss, log_metadata, misc_metadata) — misc carries the detached IWEs
@@ -469,9 +504,10 @@ def focus_loss(
         flow_lut, flow_to_next = interpolate_flow(cfg, traj_at_tref,
                                                   traj_at_tmid)
     with jax.named_scope("focus/warp_events"):
-        warped = warp_events(cfg, events, flow_lut)
+        warped = warp_events(cfg, events, flow_lut, cell_ends)
     with jax.named_scope("focus/make_iwes"):
-        iwes = make_iwes(cfg, warped, t_ref, num_pos_events)
+        iwes = make_iwes(cfg, warped, t_ref, num_pos_events,
+                         cell_sorted=cell_ends is not None)
 
     focus = grad_ops.focus_objective(iwes, loss_type=cfg.loss_type,
                                      norm=cfg.focus_loss_norm,

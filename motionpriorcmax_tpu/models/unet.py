@@ -22,6 +22,44 @@ from typing import Any, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn
+from jax import lax
+
+
+class ConvTranspose2x2(nn.Module):
+    """nn.ConvTranspose(kernel=2, strides=2) as a 1x1 conv + depth-to-space.
+
+    A stride-2 kernel-2 transposed conv writes non-overlapping 2x2 output
+    blocks, so it is exactly a 1x1 conv to 4*features channels followed by a
+    depth-to-space reshuffle.  XLA lowers lax.conv_transpose as an
+    input-dilated conv, which the TPU conv engine handles poorly (measured
+    7.8 ms fwd+bwd for the 128->64 up at b8 DSEC full res vs 4.5 ms for this
+    form, 1.75x).  Parameter name/shape/orientation match nn.ConvTranspose
+    bit-for-bit, so checkpoints and the torch converter
+    (training/checkpoint.py:101-154) are unaffected.
+    """
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (2, 2, cin, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        # lax.conv_transpose(transpose_kernel=False) applies the kernel
+        # spatially flipped relative to the per-pixel 2x2 block write; undo.
+        k = kernel[::-1, ::-1].astype(self.dtype)
+        k1 = jnp.transpose(k, (2, 0, 1, 3)).reshape(1, 1, cin,
+                                                    4 * self.features)
+        y = lax.conv_general_dilated(
+            x.astype(self.dtype), k1, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        b, h, w, _ = y.shape
+        y = y.reshape(b, h, w, 2, 2, self.features)
+        y = jnp.transpose(y, (0, 1, 3, 2, 4, 5)).reshape(
+            b, h * 2, w * 2, self.features)
+        return y + bias.astype(self.dtype)
 
 
 class DoubleConv(nn.Module):
@@ -82,8 +120,8 @@ class Up(nn.Module):
             x1 = jax.image.resize(x1, (b, h * 2, w * 2, c), method="bilinear")
             mid = x1.shape[-1] // 2
         else:
-            x1 = nn.ConvTranspose(x1.shape[-1] // 2, (2, 2), strides=(2, 2),
-                                  dtype=self.dtype)(x1)
+            x1 = ConvTranspose2x2(x1.shape[-1] // 2, dtype=self.dtype,
+                                  name="ConvTranspose_0")(x1)
             mid = None
         # Pad x1 to the skip connection's spatial size (unet_parts.py:59-63).
         dh = x2.shape[1] - x1.shape[1]

@@ -216,21 +216,16 @@ def gaussian_blur_3x3(images: jnp.ndarray, sigma: float = 1.0) -> jnp.ndarray:
     """
     import numpy as _np
 
+    from .gradients import _stencil3
+
     x = _np.array([-1.0, 0.0, 1.0])
     k1 = _np.exp(-0.5 * (x / sigma) ** 2)
-    k1 = (k1 / k1.sum()).astype(_np.float32)
-    k = jnp.asarray(k1)
-
-    lead = images.shape[:-2]
-    h, w = images.shape[-2:]
-    img = images.reshape((-1, 1, h, w))
-    img = jnp.pad(img, ((0, 0), (0, 0), (1, 1), (1, 1)), mode="reflect")
-    kern_y = k.reshape(1, 1, 3, 1)
-    kern_x = k.reshape(1, 1, 1, 3)
-    dn = jax.lax.conv_dimension_numbers(img.shape, kern_y.shape, ("NCHW", "OIHW", "NCHW"))
-    img = jax.lax.conv_general_dilated(img, kern_y, (1, 1), "VALID", dimension_numbers=dn)
-    img = jax.lax.conv_general_dilated(img, kern_x, (1, 1), "VALID", dimension_numbers=dn)
-    return img.reshape(lead + (h, w))
+    k1 = k1 / k1.sum()
+    taps = tuple(float(v) for v in k1)
+    # Separable shifted-add stencil: a single-channel conv would pad
+    # channels 1 -> 128 on the TPU conv engine (see _stencil3).
+    img = _stencil3(images, taps, -2, "reflect")
+    return _stencil3(img, taps, -1, "reflect")
 
 
 def iwe_bilinear_vote_matmul(
@@ -371,25 +366,77 @@ def _segment_sum_matmul(rows_idx: jnp.ndarray, cols_idx: jnp.ndarray,
     return acc
 
 
+def _segment_sum_sorted(flat_idx: jnp.ndarray, grads: jnp.ndarray, *,
+                        num_cells: int,
+                        cell_ends: jnp.ndarray | None = None) -> jnp.ndarray:
+    """out[cell, c] = sum_e [flat_idx[e]==cell] grads[e, c], flat_idx SORTED.
+
+    With cell ids sorted ascending, each cell's events are contiguous, so
+    the segment sum is an exclusive-prefix-sum difference at the cell
+    boundaries: O(M) cumsum on the VPU + a boundary gather — no M x R x X
+    dense matmuls (the `_segment_sum_matmul` cost) and no serialized
+    scatter.  The flow-LUT cell of an event depends only on its STATIC
+    coordinates, so loaders pre-sort events once on the host and every
+    train step reuses the order for free (data/host_ops.py::lut_cell_sort).
+
+    `cell_ends` is the right-boundary array `searchsorted(flat_idx,
+    arange(num_cells), 'right')`, flattened over any leading segment
+    axis: shape [S * num_cells] globally ascending, segment s covering
+    events [off_s, off_{s+1}) (polarity-aware batching packs positives
+    first, so each polarity half is sorted separately — S=2).  It depends
+    only on static event coordinates, so loaders compute it host-side;
+    computing it on device (cell_ends=None) is a ~20-round binary-search
+    gather, measured 6x slower than the whole cumsum path at b8 x 1M.
+
+    f32 cumsum over ~1M events keeps ~4 significant digits on the boundary
+    differences (running-sum magnitude ~ sqrt(M) * sigma, log-depth
+    accumulation); the matmul path computes the same values through bf16
+    inputs, so precision is comparable.
+
+    Args:
+      flat_idx: [M] int32 in [0, num_cells), ascending (per segment).
+      grads: [M, C] cotangents (zero rows for padding events).
+      cell_ends: [S * num_cells] int32 ascending, or None to compute here.
+    Returns:
+      [num_cells, C] float32.
+    """
+    c = grads.shape[1]
+    csum = jnp.cumsum(grads.astype(jnp.float32), axis=0)
+    csum = jnp.concatenate([jnp.zeros((1, c), jnp.float32), csum], axis=0)
+    if cell_ends is None:
+        cell_ends = jnp.searchsorted(
+            flat_idx, jnp.arange(num_cells, dtype=jnp.int32), side="right")
+    gath = csum[cell_ends]                                  # [S*cells, C]
+    prev = jnp.concatenate([jnp.zeros((1, c), jnp.float32), gath[:-1]])
+    # Per-segment diffs: the first cell of segment s sees prev = the last
+    # end of segment s-1 = off_s, exactly its exclusive start.
+    return (gath - prev).reshape(-1, num_cells, c).sum(axis=0)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def grid_gather(grid: jnp.ndarray, rows_idx: jnp.ndarray,
-                cols_idx: jnp.ndarray, bwd_impl: str = "matmul") -> jnp.ndarray:
+                cols_idx: jnp.ndarray, bwd_impl: str = "matmul",
+                cell_ends: jnp.ndarray | None = None) -> jnp.ndarray:
     """Differentiable per-event lookup grid[b, rows_idx, cols_idx, :].
 
     Forward is a plain XLA gather (fast on TPU: ~33 ms at 4 x 1M events);
     the BACKWARD of a gather is a scatter-add, which XLA serializes per
     update (~200 ms at the same scale and it dominated the whole flow train
     step).  bwd_impl='matmul' routes the cotangent through
-    `_segment_sum_matmul` instead; 'native' keeps XLA's scatter (used as the
-    golden reference on CPU).
+    `_segment_sum_matmul`; 'sorted' (events pre-sorted by flat cell id,
+    optionally with host-precomputed `cell_ends`) through the O(M)
+    cumsum-difference `_segment_sum_sorted` — measured ~10x the matmul path
+    at b8 x 1M; 'native' keeps XLA's scatter (the golden reference on CPU).
 
     Args:
       grid: [B, R, X, C] (for the flow LUT: R = n_bins * Hq, X = Wq).
       rows_idx, cols_idx: [B, M] int32, pre-clipped to range.
+      cell_ends: [B, S * R * X] int32 right boundaries for 'sorted'
+        (see _segment_sum_sorted), or None.
     Returns:
       [B, M, C].
     """
-    out, _ = _grid_gather_fwd(grid, rows_idx, cols_idx, bwd_impl)
+    out, _ = _grid_gather_fwd(grid, rows_idx, cols_idx, bwd_impl, cell_ends)
     return out
 
 
@@ -400,13 +447,13 @@ def _gather_rows(grid, rows_idx, cols_idx):
     return jnp.take_along_axis(gflat, flat[..., None], axis=1)
 
 
-def _grid_gather_fwd(grid, rows_idx, cols_idx, bwd_impl):
+def _grid_gather_fwd(grid, rows_idx, cols_idx, bwd_impl, cell_ends):
     return _gather_rows(grid, rows_idx, cols_idx), (grid.shape, rows_idx,
-                                                    cols_idx)
+                                                    cols_idx, cell_ends)
 
 
 def _grid_gather_bwd(bwd_impl, residuals, g_out):
-    (b, r, x, c), rows_idx, cols_idx = residuals
+    (b, r, x, c), rows_idx, cols_idx, cell_ends = residuals
     if bwd_impl == "pallas":
         from .pallas.iwe_vote import segment_sum_pallas
 
@@ -416,11 +463,25 @@ def _grid_gather_bwd(bwd_impl, residuals, g_out):
             lambda ri, ci, g: _segment_sum_matmul(ri, ci, g, num_rows=r,
                                                   num_cols=x)
         )(rows_idx, cols_idx, g_out)
+    elif bwd_impl == "sorted":
+        # Requires rows_idx * x + cols_idx ascending along M per segment
+        # (cell-sorted events — see data/host_ops.py::lut_cell_sort).
+        if cell_ends is None:
+            d_grid = jax.vmap(
+                lambda ri, ci, g: _segment_sum_sorted(
+                    ri * x + ci, g, num_cells=r * x).reshape(r, x, -1)
+            )(rows_idx, cols_idx, g_out)
+        else:
+            d_grid = jax.vmap(
+                lambda ri, ci, g, ce: _segment_sum_sorted(
+                    ri * x + ci, g, num_cells=r * x,
+                    cell_ends=ce).reshape(r, x, -1)
+            )(rows_idx, cols_idx, g_out, cell_ends)
     else:
         d_grid = jnp.zeros((b, r, x, c), g_out.dtype)
         d_grid = d_grid.at[jnp.arange(b)[:, None], rows_idx, cols_idx].add(
             g_out)
-    return d_grid, None, None
+    return d_grid, None, None, None
 
 
 grid_gather.defvjp(_grid_gather_fwd, _grid_gather_bwd)

@@ -176,19 +176,37 @@ def iwe_vote_pallas(coords_yx, weight, height: int, width: int,
     return out
 
 
-def _vjp_fwd(coords_yx, weight, height, width, compute_dtype, interpret):
-    bsz = weight.shape[0]
-    hp, wp = _pad_round(height, 8), _pad_round(width, 128)
-    (y1, x1, ay0, ay1, bx0, bx1, *_), nb = _prep(coords_yx, weight,
-                                                 height, width)
-    out = pl.pallas_call(
+def _full_fwd_call(parts6, bsz, nb, hp, wp, compute_dtype, interpret):
+    return pl.pallas_call(
         functools.partial(_fwd_kernel, compute_dtype=compute_dtype),
         grid=(bsz, nb),
         in_specs=[_evt_spec() for _ in range(6)],
         out_specs=pl.BlockSpec((1, hp, wp), lambda gi, qi: (gi, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((bsz, hp, wp), jnp.float32),
         interpret=interpret,
-    )(y1, x1, ay0, ay1, bx0, bx1)
+    )(*parts6)
+
+
+def _full_bwd_call(parts, g_pad, bsz, nb, hp, wp, compute_dtype, interpret):
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, compute_dtype=compute_dtype),
+        grid=(bsz, nb),
+        in_specs=[_evt_spec() for _ in range(12)] + [
+            pl.BlockSpec((1, hp, wp), lambda gi, qi: (gi, 0, 0))],
+        out_specs=[_evt_spec() for _ in range(3)],
+        out_shape=[jax.ShapeDtypeStruct((bsz, nb, KB, BE), jnp.float32)
+                   for _ in range(3)],
+        interpret=interpret,
+    )(*parts, g_pad)
+
+
+def _vjp_fwd(coords_yx, weight, height, width, compute_dtype, interpret):
+    bsz = weight.shape[0]
+    hp, wp = _pad_round(height, 8), _pad_round(width, 128)
+    (y1, x1, ay0, ay1, bx0, bx1, *_), nb = _prep(coords_yx, weight,
+                                                 height, width)
+    out = _full_fwd_call((y1, x1, ay0, ay1, bx0, bx1), bsz, nb, hp, wp,
+                         compute_dtype, interpret)
     return out[:, :height, :width], (coords_yx, weight)
 
 
@@ -200,16 +218,8 @@ def _vjp_bwd(height, width, compute_dtype, interpret, residuals, g_out):
     g_pad = jnp.zeros((bsz, hp, wp), jnp.float32)
     g_pad = g_pad.at[:, :height, :width].set(g_out)
 
-    dfy, dfx, dv = pl.pallas_call(
-        functools.partial(_bwd_kernel, compute_dtype=compute_dtype),
-        grid=(bsz, nb),
-        in_specs=[_evt_spec() for _ in range(12)] + [
-            pl.BlockSpec((1, hp, wp), lambda gi, qi: (gi, 0, 0))],
-        out_specs=[_evt_spec() for _ in range(3)],
-        out_shape=[jax.ShapeDtypeStruct((bsz, nb, KB, BE), jnp.float32)
-                   for _ in range(3)],
-        interpret=interpret,
-    )(*parts, g_pad)
+    dfy, dfx, dv = _full_bwd_call(parts, g_pad, bsz, nb, hp, wp,
+                                  compute_dtype, interpret)
 
     def unpad(a):
         return a.reshape(bsz, nb * KB * BE)[:, :m]
@@ -219,6 +229,218 @@ def _vjp_bwd(height, width, compute_dtype, interpret, residuals, g_out):
 
 
 iwe_vote_pallas.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Banded variant for cell-sorted events (data/host_ops.py::lut_cell_sort).
+#
+# With events sorted y-major by LUT cell, each BE-event sub-block lives in a
+# ~2-superpixel-row strip, so its warped taps span <= strip + 2*max_disp
+# rows.  The kernel then builds A_t as a [BAND, BE] tile at a per-sub-block
+# dynamic row offset instead of [Hp, BE] — BAND/Hp of the one-hot build and
+# MXU work (2.5x at 480x640 with BAND=192).  Row windows and a global
+# "fits" flag are computed in XLA from the actual tap extents; if ANY
+# sub-block's extent exceeds the band (e.g. wild early-training flows), a
+# lax.cond falls back to the full-height kernel, so results are exact for
+# coords/weights gradients in all cases.  The one approximation: dweight of
+# zero-weight events whose taps fall outside their block's window (only
+# kernel padding rows in practice) reads 0 — callers must stop_gradient the
+# weights, as the focus loss does (losses/focus.py::make_iwes).
+# ---------------------------------------------------------------------------
+
+
+def _row_windows(y1, vm0, vm1, hp, band):
+    """Per-sub-block row window start [B, nb, KB] + global fits flag.
+
+    Taps that matter are row y1 where vm0 != 0 and row y1+1 where vm1 != 0
+    (vm* = weight * in-range mask — NOT the bilinear-folded ay*, whose
+    coefficient can be 0 for a tap the backward still reads)."""
+    big = jnp.int32(1 << 30)
+    lo = jnp.minimum(jnp.where(vm0 != 0, y1, big).min(-1),
+                     jnp.where(vm1 != 0, y1 + 1, big).min(-1))
+    hi = jnp.maximum(jnp.where(vm0 != 0, y1, -big).max(-1),
+                     jnp.where(vm1 != 0, y1 + 1, -big).max(-1))
+    rs = jnp.clip((lo // 8) * 8, 0, max(hp - band, 0)).astype(jnp.int32)
+    fits = jnp.all((lo >= rs) & (hi < rs + band))
+    return rs[:, :, None, :], fits
+
+
+def _build_tiles_banded(y1_ref, x1_ref, ay0_ref, ay1_ref, bx0_ref, bx1_ref,
+                        j, rs, band, wp, dtype):
+    rows = jax.lax.broadcasted_iota(jnp.int32, (band, BE), 0) + rs
+    y1 = _row(y1_ref, j)
+    a_t = (jnp.where(rows == y1, _row(ay0_ref, j), 0.0)
+           + jnp.where(rows == y1 + 1, _row(ay1_ref, j), 0.0))
+    cols = jax.lax.broadcasted_iota(jnp.int32, (BE, wp), 1)
+    x1 = jnp.transpose(_row(x1_ref, j))
+    b = (jnp.where(cols == x1, jnp.transpose(_row(bx0_ref, j)), 0.0)
+         + jnp.where(cols == x1 + 1, jnp.transpose(_row(bx1_ref, j)), 0.0))
+    return a_t.astype(dtype), b.astype(dtype)
+
+
+def _banded_fwd_kernel(rs_ref, y1_ref, x1_ref, ay0_ref, ay1_ref, bx0_ref,
+                       bx1_ref, out_ref, *, compute_dtype, band):
+    i = pl.program_id(1)
+    hp, wp = out_ref.shape[1], out_ref.shape[2]
+
+    @pl.when(i == 0)
+    def _init():
+        out_ref[0] = jnp.zeros((hp, wp), jnp.float32)
+
+    for j in range(KB):
+        rs = pl.multiple_of(rs_ref[0, 0, 0, j], 8)
+        a_t, b = _build_tiles_banded(y1_ref, x1_ref, ay0_ref, ay1_ref,
+                                     bx0_ref, bx1_ref, j, rs, band, wp,
+                                     compute_dtype)
+        blk = jnp.dot(a_t, b, preferred_element_type=jnp.float32)
+        out_ref[0, pl.ds(rs, band), :] = out_ref[0, pl.ds(rs, band), :] + blk
+
+
+def _banded_bwd_kernel(rs_ref, y1_ref, x1_ref, ay0_ref, ay1_ref, bx0_ref,
+                       bx1_ref, vm0_ref, vm1_ref, mx0_ref, mx1_ref,
+                       wy0m0_ref, wy1m1_ref, g_ref, dfy_ref, dfx_ref, dv_ref,
+                       *, compute_dtype, band):
+    # All three cotangents are elementwise [band, E] tile products + SUBLANE
+    # reductions against two canonical [m, k] @ [k, n] dots:
+    #     da_t = G @ B^T   (B^T = bilinear x-taps at x1 / x1+1)
+    #     m_t  = G @ D     (D   = signed x-masks: +mx1 at x1+1, -mx0 at x1)
+    #     dfy[e] = sum_r (vm1*[r==y1+1] - vm0*[r==y1]) * da_t[r, e]
+    #     dv[e]  = sum_r (wy0m0*[r==y1] + wy1m1*[r==y1+1]) * da_t[r, e]
+    #     dfx[e] = sum_r (ay0*[r==y1] + ay1*[r==y1+1]) * m_t[r, e]
+    # This avoids [E, *]-oriented tiles, lane-axis reductions, and
+    # lane<->sublane transposes entirely — a dB = A @ G + lane-reduction
+    # formulation of dfx measured 3x slower on v5e (Mosaic relayouts).
+    wp = g_ref.shape[2]
+    for j in range(KB):
+        rs = pl.multiple_of(rs_ref[0, 0, 0, j], 8)
+        g = g_ref[0, pl.ds(rs, band), :].astype(compute_dtype)    # [band, Wp]
+
+        colsT = jax.lax.broadcasted_iota(jnp.int32, (wp, BE), 0)
+        x1r = _row(x1_ref, j)                                      # [1, E]
+        cx0 = colsT == x1r
+        cx1 = colsT == x1r + 1
+        b_t = (jnp.where(cx0, _row(bx0_ref, j), 0.0)
+               + jnp.where(cx1, _row(bx1_ref, j), 0.0)).astype(compute_dtype)
+        d_t = (jnp.where(cx1, _row(mx1_ref, j), 0.0)
+               - jnp.where(cx0, _row(mx0_ref, j), 0.0)).astype(compute_dtype)
+        da_t = jnp.dot(g, b_t, preferred_element_type=jnp.float32)
+        m_t = jnp.dot(g, d_t, preferred_element_type=jnp.float32)
+
+        rows = jax.lax.broadcasted_iota(jnp.int32, (band, BE), 0) + rs
+        y1 = _row(y1_ref, j)
+        ry0 = rows == y1
+        ry1 = rows == y1 + 1
+        dfy = (jnp.where(ry1, _row(vm1_ref, j), 0.0)
+               - jnp.where(ry0, _row(vm0_ref, j), 0.0)) * da_t
+        dv = (jnp.where(ry0, _row(wy0m0_ref, j), 0.0)
+              + jnp.where(ry1, _row(wy1m1_ref, j), 0.0)) * da_t
+        dfx = (jnp.where(ry0, _row(ay0_ref, j), 0.0)
+               + jnp.where(ry1, _row(ay1_ref, j), 0.0)) * m_t
+        dfy_ref[0, 0, j, :] = jnp.sum(dfy, axis=0)
+        dfx_ref[0, 0, j, :] = jnp.sum(dfx, axis=0)
+        dv_ref[0, 0, j, :] = jnp.sum(dv, axis=0)
+
+
+def _rs_spec():
+    from jax.experimental.pallas import tpu as pltpu
+
+    # rs is [B, nb, 1, KB]: the trailing (1, KB) block equals the array
+    # dims, satisfying the Mosaic (8, 128)-or-equal block rule for SMEM.
+    return pl.BlockSpec((1, 1, 1, KB), lambda gi, qi: (gi, qi, 0, 0),
+                        memory_space=pltpu.SMEM)
+
+
+def _banded_fwd_call(parts6, rs, bsz, nb, hp, wp, band, compute_dtype,
+                     interpret):
+    return pl.pallas_call(
+        functools.partial(_banded_fwd_kernel, compute_dtype=compute_dtype,
+                          band=band),
+        grid=(bsz, nb),
+        in_specs=[_rs_spec()] + [_evt_spec() for _ in range(6)],
+        out_specs=pl.BlockSpec((1, hp, wp), lambda gi, qi: (gi, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((bsz, hp, wp), jnp.float32),
+        interpret=interpret,
+    )(rs, *parts6)
+
+
+def _banded_bwd_call(parts, rs, g_pad, bsz, nb, hp, wp, band, compute_dtype,
+                     interpret):
+    return pl.pallas_call(
+        functools.partial(_banded_bwd_kernel, compute_dtype=compute_dtype,
+                          band=band),
+        grid=(bsz, nb),
+        in_specs=[_rs_spec()] + [_evt_spec() for _ in range(12)] + [
+            pl.BlockSpec((1, hp, wp), lambda gi, qi: (gi, 0, 0))],
+        out_specs=[_evt_spec() for _ in range(3)],
+        out_shape=[jax.ShapeDtypeStruct((bsz, nb, KB, BE), jnp.float32)
+                   for _ in range(3)],
+        interpret=interpret,
+    )(rs, *parts, g_pad)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def iwe_vote_pallas_sorted(coords_yx, weight, height: int, width: int,
+                           band: int = 192, compute_dtype=jnp.bfloat16,
+                           interpret: bool = False):
+    """Bilinear vote for CELL-SORTED events: banded tap tiles (see above).
+
+    Bit-identical to `iwe_vote_pallas` for coords/weight values and
+    coords gradients (full-kernel fallback when any sub-block exceeds the
+    band); dweight of out-of-window zero-weight padding rows reads 0 —
+    stop_gradient the weights."""
+    out, _ = _sorted_vjp_fwd(coords_yx, weight, height, width, band,
+                             compute_dtype, interpret)
+    return out
+
+
+def _band_for(hp, band):
+    return min(_pad_round(band, 8), hp)
+
+
+def _sorted_vjp_fwd(coords_yx, weight, height, width, band, compute_dtype,
+                    interpret):
+    bsz = weight.shape[0]
+    hp, wp = _pad_round(height, 8), _pad_round(width, 128)
+    band = _band_for(hp, band)
+    parts, nb = _prep(coords_yx, weight, height, width)
+    y1, vm0, vm1 = parts[0], parts[6], parts[7]
+    rs, fits = _row_windows(y1, vm0, vm1, hp, band)
+    p6 = parts[:6]
+    out = jax.lax.cond(
+        fits,
+        lambda: _banded_fwd_call(p6, rs, bsz, nb, hp, wp, band,
+                                 compute_dtype, interpret),
+        lambda: _full_fwd_call(p6, bsz, nb, hp, wp, compute_dtype,
+                               interpret))
+    return out[:, :height, :width], (coords_yx, weight)
+
+
+def _sorted_vjp_bwd(height, width, band, compute_dtype, interpret,
+                    residuals, g_out):
+    coords_yx, weight = residuals
+    bsz, m = weight.shape
+    hp, wp = _pad_round(height, 8), _pad_round(width, 128)
+    band = _band_for(hp, band)
+    parts, nb = _prep(coords_yx, weight, height, width)
+    rs, fits = _row_windows(parts[0], parts[6], parts[7], hp, band)
+    g_pad = jnp.zeros((bsz, hp, wp), jnp.float32)
+    g_pad = g_pad.at[:, :height, :width].set(g_out)
+
+    dfy, dfx, dv = jax.lax.cond(
+        fits,
+        lambda: _banded_bwd_call(parts, rs, g_pad, bsz, nb, hp, wp, band,
+                                 compute_dtype, interpret),
+        lambda: _full_bwd_call(parts, g_pad, bsz, nb, hp, wp, compute_dtype,
+                               interpret))
+
+    def unpad(a):
+        return a.reshape(bsz, nb * KB * BE)[:, :m]
+
+    dcoords = jnp.stack([unpad(dfy), unpad(dfx)], axis=-1)
+    return dcoords, unpad(dv)
+
+
+iwe_vote_pallas_sorted.defvjp(_sorted_vjp_fwd, _sorted_vjp_bwd)
 
 
 def segment_sum_pallas(rows_idx, cols_idx, grads, num_rows: int,

@@ -308,7 +308,8 @@ def raft_train_step(state: RAFTTrainState, batch: Dict[str, jnp.ndarray],
         flows_list = flows_yx.reshape(t_, b, 2, -1)        # [T, B, 2, N]
         traj = offsets[None, None] + jnp.transpose(flows_list, (1, 0, 3, 2))
         loss, log_data, _ = focus_loss(loss_cfg, traj, times, batch["events"],
-                                       num_pos_events=num_pos_events)
+                                       num_pos_events=num_pos_events,
+                                       cell_ends=batch.get("lut_cell_ends"))
         logs = {f"train_losses/{k}": v for k, v in log_data.items()}
         return loss, (logs, new_bs)
 

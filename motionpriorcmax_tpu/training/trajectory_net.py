@@ -230,7 +230,8 @@ def _step(cfg: TrajectoryNetConfig, loss_cfg: FocusLossConfig,
     traj = calculate_trajectories(cfg, coeff_grid, times,
                                   loss_cfg.is_needing_offsets, basis_fn)
     loss, log_data, misc = focus_loss(loss_cfg, traj, times, batch["events"],
-                                      num_pos_events=num_pos_events)
+                                      num_pos_events=num_pos_events,
+                                      cell_ends=batch.get("lut_cell_ends"))
     misc["coeff_grid"] = coeff_grid
     return loss, (log_data, misc, new_batch_stats, basis_fn)
 

@@ -159,3 +159,24 @@ def test_raft_spline_torch_conversion_roundtrip():
     sd_missing.pop("update_block.gru.convz1.weight")
     with pytest.raises(KeyError, match="convz1"):
         torch_raft_spline_to_flax(sd_missing, template)
+
+
+def test_conv_transpose_2x2_matches_flax():
+    """ConvTranspose2x2 (1x1-conv + depth-to-space fast path) is numerically
+    identical to flax nn.ConvTranspose(k=2, s=2) with the SAME param tree."""
+    import flax.linen as nn
+    import jax.numpy as jnp
+    from motionpriorcmax_tpu.models.unet import ConvTranspose2x2
+
+    rng = np.random.default_rng(7)
+    for cin, cout, h, w in [(8, 4, 6, 10), (128, 64, 15, 20)]:
+        x = jnp.asarray(rng.normal(size=(2, h, w, cin)).astype(np.float32))
+        fast = ConvTranspose2x2(cout)
+        slow = nn.ConvTranspose(cout, (2, 2), strides=(2, 2))
+        v = fast.init(jax.random.PRNGKey(0), x)
+        # Same param names and shapes -> one tree drives both modules.
+        y_fast = fast.apply(v, x)
+        y_slow = slow.apply(v, x)
+        assert y_fast.shape == (2, 2 * h, 2 * w, cout) == y_slow.shape
+        np.testing.assert_allclose(np.asarray(y_fast), np.asarray(y_slow),
+                                   rtol=0, atol=1e-5)

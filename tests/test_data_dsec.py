@@ -155,3 +155,54 @@ def test_collate_capacity_buckets():
     assert ev.shape == (128 + 32, 6)               # pos 128 + neg 32 buckets
     assert (ev[:100, 3] == 1).all() and ev[100:128, 5].sum() == 0
     assert (ev[128:148, 5] == 1).all() and (ev[128:148, 3] == 0).all()
+
+
+def test_collate_lut_cell_sort():
+    """lut_cell_sort_params sorts events by y-major LUT cell per polarity
+    segment and emits consistent 'lut_cell_ends' boundaries."""
+    from motionpriorcmax_tpu.data.host_ops import lut_cell_keys
+
+    rng = np.random.default_rng(3)
+    h, w, nbins, s = 32, 48, 5, 4
+
+    def mk(n):
+        ev = np.zeros((n, 5), np.float32)
+        ev[:, 0] = rng.uniform(0, h - 1, n)
+        ev[:, 1] = rng.uniform(0, w - 1, n)
+        ev[:, 2] = np.sort(rng.uniform(0, 1, n))
+        ev[:, 3] = rng.integers(0, 2, n)
+        ev[:, 4] = rng.integers(0, nbins, n)
+        return ev
+
+    batch = collate_fixed_capacity(
+        [{"events": mk(200)}, {"events": mk(150)}], capacity=256,
+        lut_cell_sort_params=((h, w), nbins, s))
+    ev = batch["events"]
+    ends = batch["lut_cell_ends"]
+    hq, wq = -(-h // s), -(-w // s)
+    assert ends.shape == (2, nbins * hq * wq)
+    for i in range(2):
+        keys, ncells = lut_cell_keys(ev[i], (h, w), nbins, s)
+        assert (np.diff(keys) >= 0).all()
+        np.testing.assert_array_equal(
+            ends[i], np.searchsorted(keys, np.arange(ncells), side="right"))
+        # Sorting preserves the multiset of valid rows.
+        assert int(ev[i, :, 5].sum()) == (200 if i == 0 else 150)
+
+    # Polarity-aware: each half sorted separately, boundaries segmented.
+    pos, neg = mk(90), mk(110)
+    pos[:, 3], neg[:, 3] = 1.0, 0.0
+    sample = {"pos_events": pos, "neg_events": neg}
+    batch = collate_fixed_capacity(
+        [sample], capacity=256, polarity_aware=True,
+        lut_cell_sort_params=((h, w), nbins, s))
+    npos = batch["num_pos_events"]
+    ev = batch["events"][0]
+    ends = batch["lut_cell_ends"][0]
+    assert ends.shape == (2 * nbins * hq * wq,)
+    k1, _ = lut_cell_keys(ev[:npos], (h, w), nbins, s)
+    k2, _ = lut_cell_keys(ev[npos:], (h, w), nbins, s)
+    assert (np.diff(k1) >= 0).all() and (np.diff(k2) >= 0).all()
+    assert (np.diff(ends) >= 0).all()
+    # Positives stayed in the first segment.
+    assert (ev[:npos, 3][ev[:npos, 5] > 0] == 1).all()

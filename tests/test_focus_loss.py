@@ -227,3 +227,45 @@ def test_multi_tref_linspace(rng):
     loss, _, misc = focus_loss(cfg, traj, times, events)
     assert misc["iwes"].shape == (1, 3, H, W)
     assert np.isfinite(float(loss))
+
+
+def test_cell_sorted_events_match_unsorted(rng):
+    """lut_cell_sort + cell_ends (the O(M) sorted gather backward) gives the
+    same loss and trajectory gradients as the unsorted default path."""
+    from motionpriorcmax_tpu.data.host_ops import lut_cell_sort
+
+    for polarity in (False, True):
+        cfg = make_cfg(polarity_aware_batching=polarity, smooth_weight=0.01)
+        ev = make_translating_events(rng, m=512)
+        num_pos = -1
+        if polarity:
+            order = np.argsort(-ev[0, :, 3], kind="stable")
+            ev = ev[:, order]
+            num_pos = int((ev[0, :, 3] > 0).sum())
+        # Mark a few rows invalid (padding) to cover the zero-weight rows.
+        ev[0, -17:, 5] = 0.0
+        times = jnp.concatenate([jnp.asarray([0.4]),
+                                 jnp.asarray((np.arange(NBINS) + 0.5) / NBINS)])
+        traj = trajectories_for_flow(np.asarray(times), (2.0, 1.0))
+
+        ev_sorted, ends = lut_cell_sort(
+            ev[0], (H, W), NBINS, cfg.lut_superpixel_size,
+            num_pos_events=num_pos)
+        nq = (-(-H // cfg.lut_superpixel_size)) * (-(-W // cfg.lut_superpixel_size))
+        assert ends.shape == ((2 if polarity else 1) * NBINS * nq,)
+        assert (np.diff(ends) >= 0).all()
+
+        def f_ref(t):
+            return focus_loss(cfg, t, times, jnp.asarray(ev),
+                              num_pos_events=num_pos)[0]
+
+        def f_sorted(t):
+            return focus_loss(cfg, t, times, jnp.asarray(ev_sorted[None]),
+                              num_pos_events=num_pos,
+                              cell_ends=jnp.asarray(ends[None]))[0]
+
+        l_ref, g_ref = jax.value_and_grad(f_ref)(traj)
+        l_sorted, g_sorted = jax.value_and_grad(f_sorted)(traj)
+        np.testing.assert_allclose(float(l_sorted), float(l_ref), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(g_sorted), np.asarray(g_ref),
+                                   atol=1e-4, rtol=1e-3)

@@ -108,3 +108,46 @@ def test_segment_sum_pallas_matches_scatter(rng):
     got = np.asarray(segment_sum_pallas(jnp.asarray(ri), jnp.asarray(ci),
                                         jnp.asarray(g), r, x, True))
     np.testing.assert_allclose(got, want, atol=2e-2 * np.abs(want).max())
+
+
+def make_sorted_inputs(rng, b=2, m=3000, h=64, w=40, disp=3.0):
+    """Events sorted by row (cell-sorted proxy): each 1024-event sub-block
+    spans ~h*1024/m rows, so a band > that exercises the banded path."""
+    y = np.sort(rng.uniform(0, h - 1, (b, m)), axis=1)
+    x = rng.uniform(0, w - 1, (b, m))
+    coords = np.stack([y, x], -1).astype(np.float32)
+    coords += rng.uniform(-disp, disp, coords.shape).astype(np.float32)
+    wgt = rng.uniform(0, 2, (b, m)).astype(np.float32)
+    wgt[:, -60:] = 0.0
+    return jnp.asarray(coords), jnp.asarray(wgt)
+
+
+@pytest.mark.parametrize("band", [32, 8])
+def test_pallas_vote_sorted_banded(rng, band):
+    """Banded kernel matches scatter; band=8 forces the cond fallback."""
+    from motionpriorcmax_tpu.ops.pallas.iwe_vote import iwe_vote_pallas_sorted
+
+    h, w = 64, 40
+    coords, wgt = make_sorted_inputs(rng, h=h, w=w)
+
+    def scatter(c, ww):
+        return jax.vmap(lambda ci, wi: iwe_bilinear_vote(
+            ci, wi, height=h, width=w))(c, ww)
+
+    want = np.asarray(scatter(coords, wgt))
+    got = np.asarray(iwe_vote_pallas_sorted(coords, wgt, h, w, band,
+                                            jnp.float32, True))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+    # coords gradients (weights stop_gradient'ed, the make_iwes contract)
+    def loss_ref(c):
+        return jnp.sum(jnp.square(scatter(c, wgt)))
+
+    def loss_band(c):
+        return jnp.sum(jnp.square(iwe_vote_pallas_sorted(
+            c, wgt, h, w, band, jnp.float32, True)))
+
+    gc_r = jax.grad(loss_ref)(coords)
+    gc_b = jax.grad(loss_band)(coords)
+    np.testing.assert_allclose(np.asarray(gc_b), np.asarray(gc_r),
+                               atol=5e-3, rtol=1e-3)
