@@ -250,19 +250,21 @@ iwe_vote_pallas.defvjp(_vjp_fwd, _vjp_bwd)
 
 
 def _row_windows(y1, vm0, vm1, hp, band):
-    """Per-sub-block row window start [B, nb, KB] + global fits flag.
+    """Per-sub-block row window starts + fits flags, both [B, nb, 1, KB].
 
     Taps that matter are row y1 where vm0 != 0 and row y1+1 where vm1 != 0
     (vm* = weight * in-range mask — NOT the bilinear-folded ay*, whose
-    coefficient can be 0 for a tap the backward still reads)."""
+    coefficient can be 0 for a tap the backward still reads).  A sub-block
+    whose tap extent exceeds the band gets fits=0 and the kernel runs its
+    full-height path for that sub-block only (pl.when branch)."""
     big = jnp.int32(1 << 30)
     lo = jnp.minimum(jnp.where(vm0 != 0, y1, big).min(-1),
                      jnp.where(vm1 != 0, y1 + 1, big).min(-1))
     hi = jnp.maximum(jnp.where(vm0 != 0, y1, -big).max(-1),
                      jnp.where(vm1 != 0, y1 + 1, -big).max(-1))
     rs = jnp.clip((lo // 8) * 8, 0, max(hp - band, 0)).astype(jnp.int32)
-    fits = jnp.all((lo >= rs) & (hi < rs + band))
-    return rs[:, :, None, :], fits
+    fits = ((lo >= rs) & (hi < rs + band)).astype(jnp.int32)
+    return rs[:, :, None, :], fits[:, :, None, :]
 
 
 def _build_tiles_banded(y1_ref, x1_ref, ay0_ref, ay1_ref, bx0_ref, bx1_ref,
@@ -278,8 +280,8 @@ def _build_tiles_banded(y1_ref, x1_ref, ay0_ref, ay1_ref, bx0_ref, bx1_ref,
     return a_t.astype(dtype), b.astype(dtype)
 
 
-def _banded_fwd_kernel(rs_ref, y1_ref, x1_ref, ay0_ref, ay1_ref, bx0_ref,
-                       bx1_ref, out_ref, *, compute_dtype, band):
+def _banded_fwd_kernel(rs_ref, fits_ref, y1_ref, x1_ref, ay0_ref, ay1_ref,
+                       bx0_ref, bx1_ref, out_ref, *, compute_dtype, band):
     i = pl.program_id(1)
     hp, wp = out_ref.shape[1], out_ref.shape[2]
 
@@ -287,17 +289,32 @@ def _banded_fwd_kernel(rs_ref, y1_ref, x1_ref, ay0_ref, ay1_ref, bx0_ref,
     def _init():
         out_ref[0] = jnp.zeros((hp, wp), jnp.float32)
 
-    for j in range(KB):
-        rs = pl.multiple_of(rs_ref[0, 0, 0, j], 8)
+    def accumulate(j, rs, nrows):
         a_t, b = _build_tiles_banded(y1_ref, x1_ref, ay0_ref, ay1_ref,
-                                     bx0_ref, bx1_ref, j, rs, band, wp,
+                                     bx0_ref, bx1_ref, j, rs, nrows, wp,
                                      compute_dtype)
         blk = jnp.dot(a_t, b, preferred_element_type=jnp.float32)
-        out_ref[0, pl.ds(rs, band), :] = out_ref[0, pl.ds(rs, band), :] + blk
+        idx = (0, pl.ds(rs, nrows), slice(None))
+        out_ref[idx] = out_ref[idx] + blk
+
+    for j in range(KB):
+        rs = pl.multiple_of(rs_ref[0, 0, 0, j], 8)
+        fits = fits_ref[0, 0, 0, j] != 0
+
+        @pl.when(fits)
+        def _banded(j=j, rs=rs):
+            accumulate(j, rs, band)
+
+        # Rare straggler (tap extent > band, e.g. wild early-training
+        # flows): full-height path for THIS sub-block only — exactness
+        # without an XLA-level cond.
+        @pl.when(jnp.logical_not(fits))
+        def _full(j=j):
+            accumulate(j, 0, hp)
 
 
-def _banded_bwd_kernel(rs_ref, y1_ref, x1_ref, ay0_ref, ay1_ref, bx0_ref,
-                       bx1_ref, vm0_ref, vm1_ref, mx0_ref, mx1_ref,
+def _banded_bwd_kernel(rs_ref, fits_ref, y1_ref, x1_ref, ay0_ref, ay1_ref,
+                       bx0_ref, bx1_ref, vm0_ref, vm1_ref, mx0_ref, mx1_ref,
                        wy0m0_ref, wy1m1_ref, g_ref, dfy_ref, dfx_ref, dv_ref,
                        *, compute_dtype, band):
     # All three cotangents are elementwise [band, E] tile products + SUBLANE
@@ -311,9 +328,10 @@ def _banded_bwd_kernel(rs_ref, y1_ref, x1_ref, ay0_ref, ay1_ref, bx0_ref,
     # lane<->sublane transposes entirely — a dB = A @ G + lane-reduction
     # formulation of dfx measured 3x slower on v5e (Mosaic relayouts).
     wp = g_ref.shape[2]
-    for j in range(KB):
-        rs = pl.multiple_of(rs_ref[0, 0, 0, j], 8)
-        g = g_ref[0, pl.ds(rs, band), :].astype(compute_dtype)    # [band, Wp]
+    hp = g_ref.shape[1]
+
+    def subblock(j, rs, nrows):
+        g = g_ref[0, pl.ds(rs, nrows), :].astype(compute_dtype)  # [nrows, Wp]
 
         colsT = jax.lax.broadcasted_iota(jnp.int32, (wp, BE), 0)
         x1r = _row(x1_ref, j)                                      # [1, E]
@@ -326,7 +344,7 @@ def _banded_bwd_kernel(rs_ref, y1_ref, x1_ref, ay0_ref, ay1_ref, bx0_ref,
         da_t = jnp.dot(g, b_t, preferred_element_type=jnp.float32)
         m_t = jnp.dot(g, d_t, preferred_element_type=jnp.float32)
 
-        rows = jax.lax.broadcasted_iota(jnp.int32, (band, BE), 0) + rs
+        rows = jax.lax.broadcasted_iota(jnp.int32, (nrows, BE), 0) + rs
         y1 = _row(y1_ref, j)
         ry0 = rows == y1
         ry1 = rows == y1 + 1
@@ -340,6 +358,18 @@ def _banded_bwd_kernel(rs_ref, y1_ref, x1_ref, ay0_ref, ay1_ref, bx0_ref,
         dfx_ref[0, 0, j, :] = jnp.sum(dfx, axis=0)
         dv_ref[0, 0, j, :] = jnp.sum(dv, axis=0)
 
+    for j in range(KB):
+        rs = pl.multiple_of(rs_ref[0, 0, 0, j], 8)
+        fits = fits_ref[0, 0, 0, j] != 0
+
+        @pl.when(fits)
+        def _banded(j=j, rs=rs):
+            subblock(j, rs, band)
+
+        @pl.when(jnp.logical_not(fits))
+        def _full(j=j):
+            subblock(j, 0, hp)
+
 
 def _rs_spec():
     from jax.experimental.pallas import tpu as pltpu
@@ -350,32 +380,32 @@ def _rs_spec():
                         memory_space=pltpu.SMEM)
 
 
-def _banded_fwd_call(parts6, rs, bsz, nb, hp, wp, band, compute_dtype,
+def _banded_fwd_call(parts6, rs, fits, bsz, nb, hp, wp, band, compute_dtype,
                      interpret):
     return pl.pallas_call(
         functools.partial(_banded_fwd_kernel, compute_dtype=compute_dtype,
                           band=band),
         grid=(bsz, nb),
-        in_specs=[_rs_spec()] + [_evt_spec() for _ in range(6)],
+        in_specs=[_rs_spec(), _rs_spec()] + [_evt_spec() for _ in range(6)],
         out_specs=pl.BlockSpec((1, hp, wp), lambda gi, qi: (gi, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((bsz, hp, wp), jnp.float32),
         interpret=interpret,
-    )(rs, *parts6)
+    )(rs, fits, *parts6)
 
 
-def _banded_bwd_call(parts, rs, g_pad, bsz, nb, hp, wp, band, compute_dtype,
-                     interpret):
+def _banded_bwd_call(parts, rs, fits, g_pad, bsz, nb, hp, wp, band,
+                     compute_dtype, interpret):
     return pl.pallas_call(
         functools.partial(_banded_bwd_kernel, compute_dtype=compute_dtype,
                           band=band),
         grid=(bsz, nb),
-        in_specs=[_rs_spec()] + [_evt_spec() for _ in range(12)] + [
-            pl.BlockSpec((1, hp, wp), lambda gi, qi: (gi, 0, 0))],
+        in_specs=[_rs_spec(), _rs_spec()] + [_evt_spec() for _ in range(12)]
+        + [pl.BlockSpec((1, hp, wp), lambda gi, qi: (gi, 0, 0))],
         out_specs=[_evt_spec() for _ in range(3)],
         out_shape=[jax.ShapeDtypeStruct((bsz, nb, KB, BE), jnp.float32)
                    for _ in range(3)],
         interpret=interpret,
-    )(rs, *parts, g_pad)
+    )(rs, fits, *parts, g_pad)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
@@ -384,10 +414,11 @@ def iwe_vote_pallas_sorted(coords_yx, weight, height: int, width: int,
                            interpret: bool = False):
     """Bilinear vote for CELL-SORTED events: banded tap tiles (see above).
 
-    Bit-identical to `iwe_vote_pallas` for coords/weight values and
-    coords gradients (full-kernel fallback when any sub-block exceeds the
-    band); dweight of out-of-window zero-weight padding rows reads 0 —
-    stop_gradient the weights."""
+    Bit-identical to `iwe_vote_pallas` for output values and coords
+    gradients (a sub-block whose tap extent exceeds the band runs a
+    full-height pl.when branch — per sub-block, no XLA cond); dweight of
+    out-of-window zero-weight padding rows reads 0 — stop_gradient the
+    weights."""
     out, _ = _sorted_vjp_fwd(coords_yx, weight, height, width, band,
                              compute_dtype, interpret)
     return out
@@ -405,13 +436,8 @@ def _sorted_vjp_fwd(coords_yx, weight, height, width, band, compute_dtype,
     parts, nb = _prep(coords_yx, weight, height, width)
     y1, vm0, vm1 = parts[0], parts[6], parts[7]
     rs, fits = _row_windows(y1, vm0, vm1, hp, band)
-    p6 = parts[:6]
-    out = jax.lax.cond(
-        fits,
-        lambda: _banded_fwd_call(p6, rs, bsz, nb, hp, wp, band,
-                                 compute_dtype, interpret),
-        lambda: _full_fwd_call(p6, bsz, nb, hp, wp, compute_dtype,
-                               interpret))
+    out = _banded_fwd_call(parts[:6], rs, fits, bsz, nb, hp, wp, band,
+                           compute_dtype, interpret)
     return out[:, :height, :width], (coords_yx, weight)
 
 
@@ -426,12 +452,8 @@ def _sorted_vjp_bwd(height, width, band, compute_dtype, interpret,
     g_pad = jnp.zeros((bsz, hp, wp), jnp.float32)
     g_pad = g_pad.at[:, :height, :width].set(g_out)
 
-    dfy, dfx, dv = jax.lax.cond(
-        fits,
-        lambda: _banded_bwd_call(parts, rs, g_pad, bsz, nb, hp, wp, band,
-                                 compute_dtype, interpret),
-        lambda: _full_bwd_call(parts, g_pad, bsz, nb, hp, wp, compute_dtype,
-                               interpret))
+    dfy, dfx, dv = _banded_bwd_call(parts, rs, fits, g_pad, bsz, nb, hp, wp,
+                                    band, compute_dtype, interpret)
 
     def unpad(a):
         return a.reshape(bsz, nb * KB * BE)[:, :m]
