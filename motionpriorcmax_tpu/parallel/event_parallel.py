@@ -34,6 +34,7 @@ def focus_loss_event_sharded(
     mesh,
     num_pos_events: int = -1,
     event_axis: str = "event",
+    cell_ends: jnp.ndarray = None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray], Dict[str, jnp.ndarray]]:
     """Focus loss with the event dimension explicitly sharded over `mesh`.
 
@@ -43,6 +44,12 @@ def focus_loss_event_sharded(
         polarity-aware batching each shard must keep the positives-first
         layout, so M/n_shards must also split num_pos_events evenly
         (static capacities make this a collate-time guarantee).
+      cell_ends: optional [B, S * num_cells] GLOBAL LUT-cell boundaries for
+        cell-sorted events (data/host_ops.py::lut_cell_sort).  A contiguous
+        shard of a sorted array is sorted, and the cumsum-difference segment
+        sum is linear, so each shard clips the global boundaries into its
+        own range and the replicated-LUT cotangent psum reassembles the
+        exact global gradient.
     """
     # Flow LUT from trajectories only — computed once, replicated.
     t_ref = times[: cfg.num_tref]
@@ -60,11 +67,28 @@ def focus_loss_event_sharded(
                 "divisible by the event-axis size")
         local_pos = num_pos_events // n_shards
 
-    def local_iwes(lut, ev_local):
+    local_m = events.shape[1] // n_shards
+
+    def _local_ends(ends):
+        """Global [B, S*cells] boundaries -> this shard's local ones."""
+        idx = jax.lax.axis_index(event_axis)
+        if not cfg.polarity_aware_batching:
+            return jnp.clip(ends - idx * local_m, 0, local_m)
+        cells = ends.shape[1] // 2
+        pm = num_pos_events // n_shards
+        nm = local_m - pm
+        pos_e = jnp.clip(ends[:, :cells] - idx * pm, 0, pm)
+        neg_e = pm + jnp.clip(
+            ends[:, cells:] - num_pos_events - idx * nm, 0, nm)
+        return jnp.concatenate([pos_e, neg_e], axis=1)
+
+    def local_iwes(lut, ev_local, ends):
         # Per-shard: warp the local slice, vote a PARTIAL IWE (the blur is
         # linear, so it commutes with the psum and runs after).
-        warped = warp_events(cfg, ev_local, lut)
-        partial = make_iwes(cfg, warped, t_ref, local_pos)
+        local_ends = None if ends is None else _local_ends(ends)
+        warped = warp_events(cfg, ev_local, lut, local_ends)
+        partial = make_iwes(cfg, warped, t_ref, local_pos,
+                            cell_sorted=local_ends is not None)
         return jax.lax.psum(partial, event_axis)
 
     # Positives-first layout: shard pos and neg halves separately so each
@@ -81,13 +105,22 @@ def focus_loss_event_sharded(
     else:
         ev_resharded = events
 
-    shard = jax.shard_map(
-        local_iwes, mesh=mesh,
-        in_specs=(P(), P(None, event_axis, None)),
-        out_specs=P(),
-        check_vma=False,
-    )
-    iwes = shard(flow_lut, ev_resharded)
+    if cell_ends is None:
+        shard = jax.shard_map(
+            lambda lut, ev: local_iwes(lut, ev, None), mesh=mesh,
+            in_specs=(P(), P(None, event_axis, None)),
+            out_specs=P(),
+            check_vma=False,
+        )
+        iwes = shard(flow_lut, ev_resharded)
+    else:
+        shard = jax.shard_map(
+            local_iwes, mesh=mesh,
+            in_specs=(P(), P(None, event_axis, None), P()),
+            out_specs=P(),
+            check_vma=False,
+        )
+        iwes = shard(flow_lut, ev_resharded, cell_ends)
 
     focus = grad_ops.focus_objective(iwes, loss_type=cfg.loss_type,
                                      norm=cfg.focus_loss_norm)

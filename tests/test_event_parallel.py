@@ -80,3 +80,34 @@ def test_sharded_with_matmul_iwe(rng):
         lambda t, ev: focus_loss_event_sharded(cfg, t, times, ev, mesh)
     )(traj, events)
     np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-4)
+
+
+@pytest.mark.parametrize("polarity", [False, True])
+def test_sharded_cell_sorted_matches_unsharded(rng, polarity):
+    """Event-sharded loss with cell-sorted events + clipped global boundaries
+    equals the single-device sorted loss, values and gradients."""
+    from motionpriorcmax_tpu.data.host_ops import lut_cell_sort
+
+    cfg = make_cfg(smooth_weight=0.01, polarity_aware_batching=polarity)
+    events, times, traj, num_pos = _setup(rng, polarity)
+    ev_sorted, ends = lut_cell_sort(np.asarray(events[0]), (H, W), NBINS,
+                                    cfg.lut_superpixel_size,
+                                    num_pos_events=num_pos)
+    ev_sorted = jnp.asarray(ev_sorted[None])
+    ends = jnp.asarray(ends[None])
+    mesh = make_mesh(data=2, event=4)
+
+    def f_ref(t):
+        return focus_loss(cfg, t, times, ev_sorted, num_pos_events=num_pos,
+                          cell_ends=ends)[0]
+
+    def f_shard(t):
+        return focus_loss_event_sharded(cfg, t, times, ev_sorted, mesh,
+                                        num_pos_events=num_pos,
+                                        cell_ends=ends)[0]
+
+    l_ref, g_ref = jax.value_and_grad(f_ref)(traj)
+    l_sh, g_sh = jax.jit(jax.value_and_grad(f_shard))(traj)
+    np.testing.assert_allclose(float(l_sh), float(l_ref), rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(g_sh), np.asarray(g_ref),
+                               atol=1e-4, rtol=1e-3)
