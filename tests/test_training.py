@@ -128,3 +128,32 @@ def test_sharded_train_step_matches_single_device(rng):
     for a, b in zip(ref_leaves, got_leaves):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-4, rtol=1e-3)
+
+
+def test_train_step_cell_sorted_batch_matches_unsorted(rng):
+    """A batch carrying loader-sorted events + 'lut_cell_ends' produces the
+    same loss and parameter update as the unsorted batch (plumbing test for
+    the sorted gather backward through train_step)."""
+    from motionpriorcmax_tpu.data.host_ops import lut_cell_sort
+
+    cfg, loss_cfg = small_cfgs()
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    batch = make_batch(rng)
+    ev = np.asarray(batch["events"])
+    pairs = [lut_cell_sort(e, (H, W), NBINS, loss_cfg.lut_superpixel_size)
+             for e in ev]
+    sorted_batch = dict(batch)
+    sorted_batch["events"] = jnp.asarray(np.stack([p[0] for p in pairs]))
+    sorted_batch["lut_cell_ends"] = jnp.asarray(
+        np.stack([p[1] for p in pairs]))
+
+    step = jax.jit(functools.partial(train_step, cfg=cfg, loss_cfg=loss_cfg))
+    s_ref, logs_ref = step(state, batch, jax.random.PRNGKey(1))
+    s_sorted, logs_sorted = step(state, sorted_batch, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(logs_sorted["train_losses/total"]),
+                               float(logs_ref["train_losses/total"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s_ref.params),
+                    jax.tree_util.tree_leaves(s_sorted.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=1e-3)
