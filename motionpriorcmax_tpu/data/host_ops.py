@@ -141,15 +141,32 @@ def lut_cell_sort(events: np.ndarray, image_shape, num_bins: int,
       (events_sorted [m, 6], cell_ends [S * num_cells] int32).
     """
     m = len(events)
-    keys, num_cells = lut_cell_keys(events, image_shape, num_bins, superpixel)
+    h, w = image_shape
+    hq, wq = -(-h // superpixel), -(-w // superpixel)
     starts = [0] if num_pos_events < 0 else [0, num_pos_events]
     bounds = starts + [m]
+
+    from ..native import lut_cell_sort_segment
+
+    events = np.ascontiguousarray(events, np.float32)
     out = np.empty_like(events)
     ends_all = []
+    keys = None
     for lo, hi in zip(bounds[:-1], bounds[1:]):
+        native = lut_cell_sort_segment(events[lo:hi], hq, wq, num_bins,
+                                       superpixel)
+        if native is not None:
+            # C++ counting sort (stable, O(m + cells) — ~20x numpy argsort
+            # at 1M events; runs on loader threads).
+            out[lo:hi], ends = native
+            ends_all.append(lo + ends.astype(np.int64))
+            continue
+        if keys is None:
+            keys, num_cells = lut_cell_keys(events, image_shape, num_bins,
+                                            superpixel)
         order = np.argsort(keys[lo:hi], kind="stable")
         out[lo:hi] = events[lo:hi][order]
         k_sorted = keys[lo:hi][order]
         ends_all.append(lo + np.searchsorted(
-            k_sorted, np.arange(num_cells), side="right"))
+            k_sorted, np.arange(num_bins * hq * wq), side="right"))
     return out, np.concatenate(ends_all).astype(np.int32)

@@ -58,6 +58,10 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.pack_dsec_events.restype = c_i64
         lib.pack_dsec_events.argtypes = [u16p, u16p, i64p, u8p, c_i64, f32p,
                                          c_i64, c_i64, c_i64, f32p]
+        lib.lut_cell_sort_segment.restype = None
+        lib.lut_cell_sort_segment.argtypes = [f32p, c_i64, c_i64, c_i64,
+                                              c_i64, ctypes.c_float, f32p,
+                                              i32p, i32p, i32p]
         _lib = lib
         return _lib
 
@@ -106,6 +110,29 @@ def voxelize_temporal(x, y, t_norm, p, num_bins: int, height: int,
     lib.voxelize_temporal(x, y, t_norm, p, len(x), num_bins, height, width,
                           grid)
     return grid.reshape(num_bins, height, width)
+
+
+def lut_cell_sort_segment(events: np.ndarray, hq: int, wq: int,
+                          num_bins: int, superpixel: float):
+    """Counting-sort [m, 6] event rows by y-major LUT cell; None if no lib.
+
+    Returns (sorted_events [m, 6] float32, ends [hq*num_bins*wq] int32) or
+    None when the native library is unavailable (callers fall back to the
+    numpy path in data/host_ops.py)."""
+    lib = _load()
+    if lib is None:
+        return None
+    events = np.ascontiguousarray(events, np.float32)
+    m = len(events)
+    cells = hq * num_bins * wq
+    out = np.empty_like(events)
+    ends = np.empty(cells, np.int32)
+    counts = np.zeros(cells, np.int32)
+    keys = np.empty(max(m, 1), np.int32)
+    lib.lut_cell_sort_segment(events.reshape(-1), m, hq, wq, num_bins,
+                              float(superpixel), out.reshape(-1), ends,
+                              counts, keys)
+    return out, ends
 
 
 def pack_dsec_events(x, y, t, p, rectify_map: np.ndarray, height: int,

@@ -111,4 +111,45 @@ int64_t pack_dsec_events(const uint16_t* x, const uint16_t* y,
   return m;
 }
 
+// Cell-sort one segment of padded event rows [m][6] by the y-major flow-LUT
+// cell id ((y//s)*num_bins + bin)*wq + (x//s) — the key contract of
+// data/host_ops.py::lut_cell_keys — and emit per-cell right boundaries.
+// Counting sort: O(m + cells), stable, ~20x numpy argsort at 1M events.
+// `counts` is caller-provided zeroed scratch of num_cells int32.
+void lut_cell_sort_segment(const float* events /*[m][6]*/, int64_t m,
+                           int64_t hq, int64_t wq, int64_t num_bins,
+                           float superpixel, float* out /*[m][6]*/,
+                           int32_t* ends /*[num_cells]*/,
+                           int32_t* counts /*[num_cells] zeroed*/,
+                           int32_t* keys /*[m] scratch*/) {
+  const int64_t cells = hq * num_bins * wq;
+  for (int64_t i = 0; i < m; ++i) {
+    const float* row = events + i * 6;
+    int64_t iy = static_cast<int64_t>(std::floor(row[0] / superpixel));
+    int64_t it = static_cast<int64_t>(row[4]);
+    int64_t ix = static_cast<int64_t>(std::floor(row[1] / superpixel));
+    iy = std::min(std::max(iy, int64_t{0}), hq - 1);
+    it = std::min(std::max(it, int64_t{0}), num_bins - 1);
+    ix = std::min(std::max(ix, int64_t{0}), wq - 1);
+    const int64_t key = (iy * num_bins + it) * wq + ix;
+    keys[i] = static_cast<int32_t>(key);
+    counts[key] += 1;
+  }
+  // Exclusive prefix sums -> placement offsets; inclusive -> ends.
+  int32_t running = 0;
+  for (int64_t c = 0; c < cells; ++c) {
+    const int32_t n = counts[c];
+    counts[c] = running;          // becomes the write offset
+    running += n;
+    ends[c] = running;
+  }
+  for (int64_t i = 0; i < m; ++i) {
+    const int64_t dst = counts[keys[i]]++;
+    const float* src = events + i * 6;
+    float* d = out + dst * 6;
+    d[0] = src[0]; d[1] = src[1]; d[2] = src[2];
+    d[3] = src[3]; d[4] = src[4]; d[5] = src[5];
+  }
+}
+
 }  // extern "C"

@@ -80,3 +80,43 @@ def test_pack_dsec_events(rng):
                                atol=1e-5)
     np.testing.assert_allclose(packed[:, 2], want[:, 2], atol=1e-6)
     np.testing.assert_array_equal(packed[:, 4], want[:, 4])
+
+
+def test_lut_cell_sort_native_matches_numpy():
+    """C++ counting sort == numpy stable argsort path, and it is fast."""
+    import time
+
+    from motionpriorcmax_tpu import native
+    from motionpriorcmax_tpu.data.host_ops import lut_cell_keys
+
+    if not native.available():
+        import pytest
+        pytest.skip("no native toolchain")
+
+    rng = np.random.default_rng(0)
+    h, w, nbins, s = 480, 640, 15, 4
+    hq, wq = h // s, w // s
+    m = 1 << 20
+    ev = np.zeros((m, 6), np.float32)
+    ev[:, 0] = rng.uniform(0, h - 1, m)
+    ev[:, 1] = rng.uniform(0, w - 1, m)
+    ev[:, 2] = rng.uniform(0, 1, m)
+    ev[:, 3] = rng.integers(0, 2, m)
+    ev[:, 4] = rng.integers(0, nbins, m)
+    ev[:, 5] = 1.0
+
+    t0 = time.perf_counter()
+    out_c, ends_c = native.lut_cell_sort_segment(ev, hq, wq, nbins, s)
+    dt_c = time.perf_counter() - t0
+
+    keys, ncells = lut_cell_keys(ev, (h, w), nbins, s)
+    t0 = time.perf_counter()
+    order = np.argsort(keys, kind="stable")
+    out_np = ev[order]
+    ends_np = np.searchsorted(keys[order], np.arange(ncells), side="right")
+    dt_np = time.perf_counter() - t0
+
+    np.testing.assert_array_equal(out_c, out_np)
+    np.testing.assert_array_equal(ends_c, ends_np)
+    print(f"native {dt_c*1e3:.1f} ms vs numpy {dt_np*1e3:.1f} ms")
+    assert dt_c < dt_np
