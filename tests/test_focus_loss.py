@@ -269,3 +269,25 @@ def test_cell_sorted_events_match_unsorted(rng):
         np.testing.assert_allclose(float(l_sorted), float(l_ref), rtol=1e-5)
         np.testing.assert_allclose(np.asarray(g_sorted), np.asarray(g_ref),
                                    atol=1e-4, rtol=1e-3)
+
+
+def test_cell_sorted_multi_tref(rng):
+    """Sorted gather backward with num_tref > 1 (C = n_tref*2 channels)."""
+    from motionpriorcmax_tpu.data.host_ops import lut_cell_sort
+
+    cfg = make_cfg(num_tref=3, scale_iwe_by_dt=False, smooth_weight=0.01)
+    ev = make_translating_events(rng, m=384)
+    times = jnp.concatenate([jnp.linspace(0.0, 1.0, 3),
+                             jnp.asarray((np.arange(NBINS) + 0.5) / NBINS)])
+    pos = trajectories_for_flow(np.asarray(times), (2.0, 1.0))
+    ev_sorted, ends = lut_cell_sort(ev[0], (H, W), NBINS,
+                                    cfg.lut_superpixel_size)
+
+    l_ref, g_ref = jax.value_and_grad(
+        lambda t: focus_loss(cfg, t, times, jnp.asarray(ev))[0])(pos)
+    l_s, g_s = jax.value_and_grad(
+        lambda t: focus_loss(cfg, t, times, jnp.asarray(ev_sorted[None]),
+                             cell_ends=jnp.asarray(ends[None]))[0])(pos)
+    np.testing.assert_allclose(float(l_s), float(l_ref), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_s), np.asarray(g_ref),
+                               atol=1e-4, rtol=1e-3)
