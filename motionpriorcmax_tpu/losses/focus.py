@@ -104,8 +104,8 @@ class FocusLossConfig:
     # events arrive cell-sorted (lut_cell_ends in the batch): each 1024-event
     # sub-block then sits in a ~2-superpixel strip, so its warped taps span
     # <= strip + 2*max displacement rows (DSEC caps at 60 px -> 128 + slack).
-    # Exact: a lax.cond falls back to the full-height kernel whenever any
-    # sub-block exceeds the band (ops/pallas/iwe_vote.py).  0 disables
+    # Exact: a sub-block whose extent exceeds the band runs a full-height
+    # pl.when branch inside the kernel (ops/pallas/iwe_vote.py).  0 disables
     # (golden-tested but not yet measured faster end-to-end on the chip).
     vote_band_px: int = 0
 

@@ -397,7 +397,10 @@ def _segment_sum_sorted(flat_idx: jnp.ndarray, grads: jnp.ndarray, *,
     Args:
       flat_idx: [M] int32 in [0, num_cells), ascending (per segment).
       grads: [M, C] cotangents (zero rows for padding events).
-      cell_ends: [S * num_cells] int32 ascending, or None to compute here.
+      cell_ends: [S * num_cells] int32 ascending.  None computes boundaries
+        on device via searchsorted — VALID ONLY FOR S=1 (globally ascending
+        flat_idx); polarity-packed S=2 layouts are non-monotonic and the
+        searchsorted fallback would return silently wrong boundaries.
     Returns:
       [num_cells, C] float32.
     """
@@ -425,7 +428,8 @@ def grid_gather(grid: jnp.ndarray, rows_idx: jnp.ndarray,
     update (~200 ms at the same scale and it dominated the whole flow train
     step).  bwd_impl='matmul' routes the cotangent through
     `_segment_sum_matmul`; 'sorted' (events pre-sorted by flat cell id,
-    optionally with host-precomputed `cell_ends`) through the O(M)
+    with host-precomputed `cell_ends` — REQUIRED whenever the sort is
+    segmented, e.g. polarity-packed halves) through the O(M)
     cumsum-difference `_segment_sum_sorted` — measured ~10x the matmul path
     at b8 x 1M; 'native' keeps XLA's scatter (the golden reference on CPU).
 

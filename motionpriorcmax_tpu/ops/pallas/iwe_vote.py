@@ -78,15 +78,10 @@ def _row(ref, j):
 
 def _build_tiles(y1_ref, x1_ref, ay0_ref, ay1_ref, bx0_ref, bx1_ref,
                  j, hp, wp, dtype):
-    rows = jax.lax.broadcasted_iota(jnp.int32, (hp, BE), 0)
-    y1 = _row(y1_ref, j)                                     # [1, E]
-    a_t = (jnp.where(rows == y1, _row(ay0_ref, j), 0.0)
-           + jnp.where(rows == y1 + 1, _row(ay1_ref, j), 0.0))
-    cols = jax.lax.broadcasted_iota(jnp.int32, (BE, wp), 1)
-    x1 = jnp.transpose(_row(x1_ref, j))                      # [E, 1]
-    b = (jnp.where(cols == x1, jnp.transpose(_row(bx0_ref, j)), 0.0)
-         + jnp.where(cols == x1 + 1, jnp.transpose(_row(bx1_ref, j)), 0.0))
-    return a_t.astype(dtype), b.astype(dtype)
+    # Full-height tiles are the banded build with a zero offset — one
+    # tap-construction (floor/one-hot contract) to maintain.
+    return _build_tiles_banded(y1_ref, x1_ref, ay0_ref, ay1_ref, bx0_ref,
+                               bx1_ref, j, 0, hp, wp, dtype)
 
 
 def _fwd_kernel(y1_ref, x1_ref, ay0_ref, ay1_ref, bx0_ref, bx1_ref, out_ref,
@@ -238,11 +233,13 @@ iwe_vote_pallas.defvjp(_vjp_fwd, _vjp_bwd)
 # ~2-superpixel-row strip, so its warped taps span <= strip + 2*max_disp
 # rows.  The kernel then builds A_t as a [BAND, BE] tile at a per-sub-block
 # dynamic row offset instead of [Hp, BE] — BAND/Hp of the one-hot build and
-# MXU work (2.5x at 480x640 with BAND=192).  Row windows and a global
-# "fits" flag are computed in XLA from the actual tap extents; if ANY
-# sub-block's extent exceeds the band (e.g. wild early-training flows), a
-# lax.cond falls back to the full-height kernel, so results are exact for
-# coords/weights gradients in all cases.  The one approximation: dweight of
+# MXU work (2.5x at 480x640 with BAND=192).  Row windows and per-sub-block
+# "fits" flags are computed in XLA from the actual tap extents; a sub-block
+# whose extent exceeds the band (e.g. wild early-training flows) runs a
+# full-height pl.when branch INSIDE the kernel — per sub-block, no XLA
+# cond — so results are exact for coords gradients in all cases, and one
+# straggler cannot force the whole batch off the banded path.  The one
+# approximation: dweight of
 # zero-weight events whose taps fall outside their block's window (only
 # kernel padding rows in practice) reads 0 — callers must stop_gradient the
 # weights, as the focus loss does (losses/focus.py::make_iwes).

