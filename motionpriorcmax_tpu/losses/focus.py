@@ -108,6 +108,11 @@ class FocusLossConfig:
     # pl.when branch inside the kernel (ops/pallas/iwe_vote.py).  0 disables
     # (golden-tested but not yet measured faster end-to-end on the chip).
     vote_band_px: int = 0
+    # Forward LUT-gather implementation when events are cell-sorted:
+    # 'xla' (plain gather, ~66 ms at b8) or 'pallas' (banded one-hot
+    # contraction, ops/pallas/lut_gather.py — golden-tested, pending
+    # on-chip measurement).  None = auto ('xla' for now).
+    lut_gather_impl: Optional[str] = None
 
     # The trajectories handed to `focus_loss` must include pixel offsets
     # (reference TrajectoryLossBase.is_needing_offsets, focus.py:46).
@@ -381,12 +386,15 @@ def warp_events(cfg: FocusLossConfig, events: jnp.ndarray,
         lut_grid = jnp.transpose(flow_lut, (0, 2, 1, 3, 4, 5)).reshape(
             b, hq * n_bins, wq, n_tref * 2)
         bwd_impl = "sorted"
+        fwd_impl = "pallas_sorted" if cfg.lut_gather_impl == "pallas" \
+            else "xla"  # band_rows: lut_gather.py default covers n_bins<=15
     else:
         rows_idx = jnp.clip(it * hq + iy, 0, n_bins * hq - 1)
         lut_grid = flow_lut.reshape(b, n_bins * hq, wq, n_tref * 2)
         bwd_impl = "matmul" if jax.default_backend() == "tpu" else "native"
+        fwd_impl = "xla"
     differences = ev_ops.grid_gather(lut_grid, rows_idx, cols_idx, bwd_impl,
-                                     cell_ends)
+                                     cell_ends, fwd_impl)
     differences = differences.reshape(b, m, n_tref, 2)
     # [B, M, n_tref, 2] -> [B, n_tref, M, 2]
     differences = jnp.transpose(differences, (0, 2, 1, 3))

@@ -417,10 +417,11 @@ def _segment_sum_sorted(flat_idx: jnp.ndarray, grads: jnp.ndarray, *,
     return (gath - prev).reshape(-1, num_cells, c).sum(axis=0)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 5))
 def grid_gather(grid: jnp.ndarray, rows_idx: jnp.ndarray,
                 cols_idx: jnp.ndarray, bwd_impl: str = "matmul",
-                cell_ends: jnp.ndarray | None = None) -> jnp.ndarray:
+                cell_ends: jnp.ndarray | None = None,
+                fwd_impl: str = "xla") -> jnp.ndarray:
     """Differentiable per-event lookup grid[b, rows_idx, cols_idx, :].
 
     Forward is a plain XLA gather (fast on TPU: ~33 ms at 4 x 1M events);
@@ -438,10 +439,13 @@ def grid_gather(grid: jnp.ndarray, rows_idx: jnp.ndarray,
       rows_idx, cols_idx: [B, M] int32, pre-clipped to range.
       cell_ends: [B, S * R * X] int32 right boundaries for 'sorted'
         (see _segment_sum_sorted), or None.
+      fwd_impl: 'xla' (plain gather) or 'pallas_sorted' (banded one-hot
+        contraction for cell-sorted indices, ops/pallas/lut_gather.py).
     Returns:
       [B, M, C].
     """
-    out, _ = _grid_gather_fwd(grid, rows_idx, cols_idx, bwd_impl, cell_ends)
+    out, _ = _grid_gather_fwd(grid, rows_idx, cols_idx, bwd_impl, cell_ends,
+                              fwd_impl)
     return out
 
 
@@ -452,12 +456,19 @@ def _gather_rows(grid, rows_idx, cols_idx):
     return jnp.take_along_axis(gflat, flat[..., None], axis=1)
 
 
-def _grid_gather_fwd(grid, rows_idx, cols_idx, bwd_impl, cell_ends):
-    return _gather_rows(grid, rows_idx, cols_idx), (grid.shape, rows_idx,
-                                                    cols_idx, cell_ends)
+def _grid_gather_fwd(grid, rows_idx, cols_idx, bwd_impl, cell_ends,
+                     fwd_impl="xla"):
+    if fwd_impl == "pallas_sorted":
+        from .pallas.lut_gather import lut_gather_sorted
+
+        out = lut_gather_sorted(grid, rows_idx, cols_idx,
+                                interpret=jax.default_backend() != "tpu")
+    else:
+        out = _gather_rows(grid, rows_idx, cols_idx)
+    return out, (grid.shape, rows_idx, cols_idx, cell_ends)
 
 
-def _grid_gather_bwd(bwd_impl, residuals, g_out):
+def _grid_gather_bwd(bwd_impl, fwd_impl, residuals, g_out):
     (b, r, x, c), rows_idx, cols_idx, cell_ends = residuals
     if bwd_impl == "pallas":
         from .pallas.iwe_vote import segment_sum_pallas
