@@ -387,14 +387,19 @@ def warp_events(cfg: FocusLossConfig, events: jnp.ndarray,
             b, hq * n_bins, wq, n_tref * 2)
         bwd_impl = "sorted"
         fwd_impl = "pallas_sorted" if cfg.lut_gather_impl == "pallas" \
-            else "xla"  # band_rows: lut_gather.py default covers n_bins<=15
+            else "xla"
+        # A 1024-event sub-block of y-major-sorted events spans <= 2 iy
+        # values (2 * n_bins rows) away from sparse regions; +2 slack.
+        fwd_band = n_bins * 2 + 2
+        differences = ev_ops.grid_gather(lut_grid, rows_idx, cols_idx,
+                                         bwd_impl, cell_ends, fwd_impl,
+                                         fwd_band)
     else:
         rows_idx = jnp.clip(it * hq + iy, 0, n_bins * hq - 1)
         lut_grid = flow_lut.reshape(b, n_bins * hq, wq, n_tref * 2)
         bwd_impl = "matmul" if jax.default_backend() == "tpu" else "native"
-        fwd_impl = "xla"
-    differences = ev_ops.grid_gather(lut_grid, rows_idx, cols_idx, bwd_impl,
-                                     cell_ends, fwd_impl)
+        differences = ev_ops.grid_gather(lut_grid, rows_idx, cols_idx,
+                                         bwd_impl, cell_ends)
     differences = differences.reshape(b, m, n_tref, 2)
     # [B, M, n_tref, 2] -> [B, n_tref, M, 2]
     differences = jnp.transpose(differences, (0, 2, 1, 3))

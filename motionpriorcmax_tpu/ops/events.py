@@ -417,11 +417,12 @@ def _segment_sum_sorted(flat_idx: jnp.ndarray, grads: jnp.ndarray, *,
     return (gath - prev).reshape(-1, num_cells, c).sum(axis=0)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 5, 6))
 def grid_gather(grid: jnp.ndarray, rows_idx: jnp.ndarray,
                 cols_idx: jnp.ndarray, bwd_impl: str = "matmul",
                 cell_ends: jnp.ndarray | None = None,
-                fwd_impl: str = "xla") -> jnp.ndarray:
+                fwd_impl: str = "xla",
+                fwd_band_rows: int | None = None) -> jnp.ndarray:
     """Differentiable per-event lookup grid[b, rows_idx, cols_idx, :].
 
     Forward is a plain XLA gather (fast on TPU: ~33 ms at 4 x 1M events);
@@ -441,11 +442,13 @@ def grid_gather(grid: jnp.ndarray, rows_idx: jnp.ndarray,
         (see _segment_sum_sorted), or None.
       fwd_impl: 'xla' (plain gather) or 'pallas_sorted' (banded one-hot
         contraction for cell-sorted indices, ops/pallas/lut_gather.py).
+      fwd_band_rows: row window for 'pallas_sorted' (>= 2 * n_bins + 2 for
+        y-major keys); None = the kernel default.
     Returns:
       [B, M, C].
     """
     out, _ = _grid_gather_fwd(grid, rows_idx, cols_idx, bwd_impl, cell_ends,
-                              fwd_impl)
+                              fwd_impl, fwd_band_rows)
     return out
 
 
@@ -457,18 +460,19 @@ def _gather_rows(grid, rows_idx, cols_idx):
 
 
 def _grid_gather_fwd(grid, rows_idx, cols_idx, bwd_impl, cell_ends,
-                     fwd_impl="xla"):
+                     fwd_impl="xla", fwd_band_rows=None):
     if fwd_impl == "pallas_sorted":
         from .pallas.lut_gather import lut_gather_sorted
 
         out = lut_gather_sorted(grid, rows_idx, cols_idx,
-                                interpret=jax.default_backend() != "tpu")
+                                interpret=jax.default_backend() != "tpu",
+                                band_rows=fwd_band_rows)
     else:
         out = _gather_rows(grid, rows_idx, cols_idx)
     return out, (grid.shape, rows_idx, cols_idx, cell_ends)
 
 
-def _grid_gather_bwd(bwd_impl, fwd_impl, residuals, g_out):
+def _grid_gather_bwd(bwd_impl, fwd_impl, fwd_band_rows, residuals, g_out):
     (b, r, x, c), rows_idx, cols_idx, cell_ends = residuals
     if bwd_impl == "pallas":
         from .pallas.iwe_vote import segment_sum_pallas
