@@ -133,6 +133,20 @@ def main():
     dt, _ = device_timer(fgrad_s, traj, events, iters=5)
     results["focus_loss_softmax_fwd_bwd_events_per_s"] = round(b * m / dt, 0)
 
+    # Cell-sorted production path: O(M) sorted segment-sum gather backward
+    # (+ optional banded vote / pallas gather via config).
+    from ..data.host_ops import lut_cell_sort
+
+    pairs = [lut_cell_sort(np.asarray(events[i]), (h, w), nbins, 4)
+             for i in range(b)]
+    ev_sorted = jnp.asarray(np.stack([pp[0] for pp in pairs]))
+    ends = jnp.asarray(np.stack([pp[1] for pp in pairs]))
+    fgrad_sorted = jax.jit(jax.grad(
+        lambda tr, ev: focus_loss(soft_cfg, tr, times, ev,
+                                  cell_ends=ends)[0]))
+    dt, _ = device_timer(fgrad_sorted, traj, ev_sorted, iters=5)
+    results["focus_loss_sorted_fwd_bwd_events_per_s"] = round(b * m / dt, 0)
+
     for key, val in results.items():
         print(json.dumps({"metric": key, "value": val}))
 
