@@ -73,34 +73,37 @@ def _tile_band(band_ref, q_ref, n):
     return t_lo, t_hi
 
 
-def _exp_weights(q_ref, db_ref, temp, t):
+def _exp_weights(qt, qn, db_ref, temp, t, exp_dtype=jnp.float32):
     """w [BQ, BN] = exp(-||q - d||^2 / temp) for database tile t.
 
     The squared distance is expanded as q.q + d.d - 2 q.d so the cross term
     rides the (otherwise idle) MXU as a rank-2 matmul — the naive
     sub/mul/add build is ~8 VPU ops per element and put the whole kernel at
     VPU roofline; this form is mul+add+add+exp (~4), with the row/col norms
-    amortized over the tile.
+    (qt [BQ, 2] / qn [BQ, 1]) loop-invariant and hoisted by the caller.
+    exp_dtype=bfloat16 runs the exp at 2x VPU rate (weights are <= 1, ~0.4%
+    relative each — the XLA path does the same, losses/focus.py).
     """
-    qt = jnp.transpose(q_ref[:, :])                  # [BQ, 2]
     dbt = db_ref[0, :, pl.ds(t * BN, BN)]            # [2, BN]
     cross = jnp.dot(qt, dbt, preferred_element_type=jnp.float32)  # [BQ, BN]
-    qn = jnp.sum(qt * qt, axis=1, keepdims=True)     # [BQ, 1]
     dn = jnp.sum(dbt * dbt, axis=0, keepdims=True)   # [1, BN]
     inv_t = 1.0 / temp
-    return jnp.exp((2.0 * cross - qn - dn) * inv_t)
+    return jnp.exp(((2.0 * cross - qn - dn) * inv_t).astype(exp_dtype))
 
 
-def _fwd_kernel(temp_ref, band_ref, q_ref, db_ref, vals_ref, out_ref):
+def _fwd_kernel(temp_ref, band_ref, q_ref, db_ref, vals_ref, out_ref, *,
+                exp_dtype=jnp.float32):
     """q_ref [2, BQ]; db_ref [1, 2, N]; vals_ref [1, C1, N]; out [1, C1, BQ]."""
     temp = temp_ref[0, 0]
     c1 = vals_ref.shape[1]
     n = db_ref.shape[2]
     t_lo, t_hi = _tile_band(band_ref, q_ref, n)
+    qt = jnp.transpose(q_ref[:, :])                  # [BQ, 2] (hoisted)
+    qn = jnp.sum(qt * qt, axis=1, keepdims=True)     # [BQ, 1]
 
     def body(t, acc):
-        vals_t = vals_ref[0, :, pl.ds(t * BN, BN)]   # [C1, BN]
-        w = _exp_weights(q_ref, db_ref, temp, t)     # [BQ, BN]
+        vals_t = vals_ref[0, :, pl.ds(t * BN, BN)].astype(exp_dtype)
+        w = _exp_weights(qt, qn, db_ref, temp, t, exp_dtype)   # [BQ, BN]
         # acc [C1, BQ] += vals_t [C1, BN] @ w^T [BN, BQ]
         return acc + jax.lax.dot_general(
             vals_t, w, (((1,), (1,)), ((), ())),
@@ -124,9 +127,11 @@ def _bwd_kernel(temp_ref, band_ref, q_ref, db_ref, gden_ref, dvals_ref):
         dvals_ref[0, :, :] = jnp.zeros_like(dvals_ref[0])
 
     g_scaled = gden_ref[0, :, :]                     # [C, BQ] (pre-divided)
+    qt = jnp.transpose(q_ref[:, :])                  # [BQ, 2] (hoisted)
+    qn = jnp.sum(qt * qt, axis=1, keepdims=True)     # [BQ, 1]
 
     def body(t, _):
-        w = _exp_weights(q_ref, db_ref, temp, t)     # [BQ, BN]
+        w = _exp_weights(qt, qn, db_ref, temp, t)    # [BQ, BN]
         upd = jnp.dot(g_scaled, w, preferred_element_type=jnp.float32)
         dvals_ref[0, :, pl.ds(t * BN, BN)] = (
             dvals_ref[0, :, pl.ds(t * BN, BN)] + upd)
@@ -147,7 +152,8 @@ def _band_arr(band):
     return jnp.asarray([list(band)], jnp.float32)  # [1, 3]
 
 
-def _run_fwd(queries, db, vals, temp, interpret, band):
+def _run_fwd(queries, db, vals, temp, interpret, band,
+             exp_dtype=jnp.float32):
     """queries [Q, 2], db [G, N, 2], vals [G, N, C] -> (num [G, Q, C],
     den [G, Q])."""
     g, n, c = vals.shape
@@ -162,7 +168,7 @@ def _run_fwd(queries, db, vals, temp, interpret, band):
     temp_arr = jnp.full((1, 1), temp, jnp.float32)
 
     out_t = pl.pallas_call(
-        _fwd_kernel,
+        functools.partial(_fwd_kernel, exp_dtype=exp_dtype),
         grid=(g, q_pad // BQ),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -180,10 +186,10 @@ def _run_fwd(queries, db, vals, temp, interpret, band):
     return num, den
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def softmax_interp_pallas(queries, db, vals, temp: float = 25.0,
                           interpret: bool = False,
-                          band=(0.0, 0.0, 0.0)):
+                          band=(0.0, 0.0, 0.0), exp_dtype=jnp.float32):
     """out[g, q, :] = sum_n softmax_n(-||q - db[g, n]||^2 / temp) vals[g, n, :].
 
     Args:
@@ -193,15 +199,18 @@ def softmax_interp_pallas(queries, db, vals, temp: float = 25.0,
       band: (margin_px, cell_size, wq) row-band truncation of the database
         scan — requires queries AND db slots in row-major grid order; margin
         must exceed max displacement + a few sqrt(temp).  (0, 0, 0) = off.
+      exp_dtype: forward exp-weight/value dtype (f32 default; bfloat16 =
+        2x VPU exp + 2x MXU accumulation, normalization cancels most of the
+        ~0.4%-per-weight noise).  The backward stays f32.
     Returns:
       [G, Q, C] float32.
     """
-    num, den = _run_fwd(queries, db, vals, temp, interpret, band)
+    num, den = _run_fwd(queries, db, vals, temp, interpret, band, exp_dtype)
     return num / jnp.maximum(den, 1e-30)[..., None]
 
 
-def _vjp_fwd(queries, db, vals, temp, interpret, band):
-    num, den = _run_fwd(queries, db, vals, temp, interpret, band)
+def _vjp_fwd(queries, db, vals, temp, interpret, band, exp_dtype):
+    num, den = _run_fwd(queries, db, vals, temp, interpret, band, exp_dtype)
     # maximum guard: the kernel skips max-subtraction (dist >= 0 keeps
     # exp <= 1), so a query whose EVERY database point is far (e.g. all
     # trajectories blown out of the band mid-divergence) underflows den to
@@ -211,7 +220,7 @@ def _vjp_fwd(queries, db, vals, temp, interpret, band):
     return num / jnp.maximum(den, 1e-30)[..., None], (queries, db, vals, den)
 
 
-def _vjp_bwd(temp, interpret, band, residuals, g_out):
+def _vjp_bwd(temp, interpret, band, exp_dtype, residuals, g_out):
     queries, db, vals, den = residuals
     g, n, c = vals.shape
     q = queries.shape[0]

@@ -103,3 +103,19 @@ def test_starved_query_gives_zero_not_nan(rng):
     g = jax.grad(lambda v: jnp.sum(
         softmax_interp_pallas(q, db, v, 25.0, True) ** 2))(vals)
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_bf16_exp_close_to_f32(rng):
+    from motionpriorcmax_tpu.ops.pallas.softmax_interp import (
+        softmax_interp_pallas)
+
+    q_, n, g, c = 96, 300, 2, 3
+    queries = jnp.asarray(rng.uniform(0, 40, (q_, 2)).astype(np.float32))
+    db = jnp.asarray(rng.uniform(0, 40, (g, n, 2)).astype(np.float32))
+    vals = jnp.asarray(rng.normal(size=(g, n, c)).astype(np.float32))
+    out32 = softmax_interp_pallas(queries, db, vals, 16.0, True)
+    out16 = softmax_interp_pallas(queries, db, vals, 16.0, True,
+                                  (0.0, 0.0, 0.0), jnp.bfloat16)
+    # Normalized interpolation: bf16 weight noise largely cancels.
+    np.testing.assert_allclose(np.asarray(out16), np.asarray(out32),
+                               atol=2e-2, rtol=2e-2)
