@@ -14,17 +14,8 @@ for far points is exactly the desired truncation (the nearest trajectory is
 always within a few pixels, so rows never vanish).
 
 Layout notes (Mosaic tiling wants 128-multiple lane dims):
-  * queries travel as [Qp, 8] (y, x, 0...0 columns) and db as [G, 8, N]
-    (y/x rows + EXPLICIT zero rows): the cross-term dot q @ d is then a
-    canonical [BQ, 8] @ [8, BN] MXU contraction whose k padding WE zeroed.
-    An earlier [2, BQ] layout with an in-kernel transpose + k=2 dot
-    produced garbage on real TPUs (interpret mode was fine): Mosaic's
-    implicit sublane padding is NOT guaranteed zero, and the transpose +
-    k<8 contraction read it.  Never contract over implicitly-padded dims.
-  * both coordinate sets are centered by the query mean before the kernel:
-    the expansion 2 q.d - q.q - d.d cancels catastrophically in f32 when
-    |coords| ~ image size (~0.1 px^2 error at 640 px), centering halves
-    the magnitudes.
+  * coordinates travel transposed: queries [2, Q], db [G, 2, N] — the lane
+    dim is the big point axis
   * values travel as [G, C+1, N] with an appended ones-row, so the
     denominator falls out of the same matmul as the numerator
   * the kernel computes out^T [C+1, BQ] = vals_tile [C+1, BN] @ w^T [BN, BQ]
@@ -82,37 +73,34 @@ def _tile_band(band_ref, q_ref, n):
     return t_lo, t_hi
 
 
-def _exp_weights(qt, qn, db_ref, temp, t, exp_dtype=jnp.float32):
+def _exp_weights(q_ref, db_ref, temp, t):
     """w [BQ, BN] = exp(-||q - d||^2 / temp) for database tile t.
 
     The squared distance is expanded as q.q + d.d - 2 q.d so the cross term
     rides the (otherwise idle) MXU as a rank-2 matmul — the naive
     sub/mul/add build is ~8 VPU ops per element and put the whole kernel at
     VPU roofline; this form is mul+add+add+exp (~4), with the row/col norms
-    (qt [BQ, 2] / qn [BQ, 1]) loop-invariant and hoisted by the caller.
-    exp_dtype=bfloat16 runs the exp at 2x VPU rate (weights are <= 1, ~0.4%
-    relative each — the XLA path does the same, losses/focus.py).
+    amortized over the tile.
     """
+    qt = jnp.transpose(q_ref[:, :])                  # [BQ, 2]
     dbt = db_ref[0, :, pl.ds(t * BN, BN)]            # [2, BN]
     cross = jnp.dot(qt, dbt, preferred_element_type=jnp.float32)  # [BQ, BN]
+    qn = jnp.sum(qt * qt, axis=1, keepdims=True)     # [BQ, 1]
     dn = jnp.sum(dbt * dbt, axis=0, keepdims=True)   # [1, BN]
     inv_t = 1.0 / temp
-    return jnp.exp(((2.0 * cross - qn - dn) * inv_t).astype(exp_dtype))
+    return jnp.exp((2.0 * cross - qn - dn) * inv_t)
 
 
-def _fwd_kernel(temp_ref, band_ref, q_ref, db_ref, vals_ref, out_ref, *,
-                exp_dtype=jnp.float32):
+def _fwd_kernel(temp_ref, band_ref, q_ref, db_ref, vals_ref, out_ref):
     """q_ref [2, BQ]; db_ref [1, 2, N]; vals_ref [1, C1, N]; out [1, C1, BQ]."""
     temp = temp_ref[0, 0]
     c1 = vals_ref.shape[1]
     n = db_ref.shape[2]
     t_lo, t_hi = _tile_band(band_ref, q_ref, n)
-    qt = jnp.transpose(q_ref[:, :])                  # [BQ, 2] (hoisted)
-    qn = jnp.sum(qt * qt, axis=1, keepdims=True)     # [BQ, 1]
 
     def body(t, acc):
-        vals_t = vals_ref[0, :, pl.ds(t * BN, BN)].astype(exp_dtype)
-        w = _exp_weights(qt, qn, db_ref, temp, t, exp_dtype)   # [BQ, BN]
+        vals_t = vals_ref[0, :, pl.ds(t * BN, BN)]   # [C1, BN]
+        w = _exp_weights(q_ref, db_ref, temp, t)     # [BQ, BN]
         # acc [C1, BQ] += vals_t [C1, BN] @ w^T [BN, BQ]
         return acc + jax.lax.dot_general(
             vals_t, w, (((1,), (1,)), ((), ())),
@@ -123,15 +111,9 @@ def _fwd_kernel(temp_ref, band_ref, q_ref, db_ref, vals_ref, out_ref, *,
     out_ref[0, :, :] = acc
 
 
-def _bwd_kernel(temp_ref, band_ref, q_ref, db_ref, gden_ref, dvals_ref, *,
-                exp_dtype=jnp.float32):
+def _bwd_kernel(temp_ref, band_ref, q_ref, db_ref, gden_ref, dvals_ref):
     """d vals^T [C, N] += g_scaled [C, BQ] @ w [BQ, BN] per tile, accumulated
-    over query blocks (grid dim 1 revisits the output block).
-
-    exp_dtype=bfloat16 recomputes the weights at 2x VPU rate — the same
-    noise the XLA path's checkpointed backward has (losses/focus.py runs
-    its exp in bf16 inside jax.checkpoint, so the recompute is bf16 there
-    too); accumulation stays f32."""
+    over query blocks (grid dim 1 revisits the output block)."""
     temp = temp_ref[0, 0]
     i = pl.program_id(1)
     n = db_ref.shape[2]
@@ -142,13 +124,10 @@ def _bwd_kernel(temp_ref, band_ref, q_ref, db_ref, gden_ref, dvals_ref, *,
         dvals_ref[0, :, :] = jnp.zeros_like(dvals_ref[0])
 
     g_scaled = gden_ref[0, :, :]                     # [C, BQ] (pre-divided)
-    qt = jnp.transpose(q_ref[:, :])                  # [BQ, 2] (hoisted)
-    qn = jnp.sum(qt * qt, axis=1, keepdims=True)     # [BQ, 1]
 
     def body(t, _):
-        w = _exp_weights(qt, qn, db_ref, temp, t, exp_dtype)  # [BQ, BN]
-        upd = jnp.dot(g_scaled.astype(w.dtype), w,
-                      preferred_element_type=jnp.float32)
+        w = _exp_weights(q_ref, db_ref, temp, t)     # [BQ, BN]
+        upd = jnp.dot(g_scaled, w, preferred_element_type=jnp.float32)
         dvals_ref[0, :, pl.ds(t * BN, BN)] = (
             dvals_ref[0, :, pl.ds(t * BN, BN)] + upd)
         return 0
@@ -165,21 +144,10 @@ def _pad_last(x: jnp.ndarray, mult: int, value=0.0) -> jnp.ndarray:
 
 
 def _band_arr(band):
-    """band -> [1, 3] f32 SMEM operand.
-
-    Accepts a static (margin_px, cell, wq) tuple OR a traced [3] array —
-    the margin may then be a data-dependent scalar (e.g. the running max
-    trajectory displacement + tail slack), which shrinks the scanned slot
-    band early in training when displacements are far below the static
-    worst case.  The kernel's t_lo/t_hi are dynamic either way.
-    """
-    if isinstance(band, (tuple, list)):
-        return jnp.asarray([list(band)], jnp.float32)  # [1, 3]
-    return jnp.asarray(band, jnp.float32).reshape(1, 3)
+    return jnp.asarray([list(band)], jnp.float32)  # [1, 3]
 
 
-def _run_fwd(queries, db, vals, temp, interpret, band,
-             exp_dtype=jnp.float32):
+def _run_fwd(queries, db, vals, temp, interpret, band):
     """queries [Q, 2], db [G, N, 2], vals [G, N, C] -> (num [G, Q, C],
     den [G, Q])."""
     g, n, c = vals.shape
@@ -194,7 +162,7 @@ def _run_fwd(queries, db, vals, temp, interpret, band,
     temp_arr = jnp.full((1, 1), temp, jnp.float32)
 
     out_t = pl.pallas_call(
-        functools.partial(_fwd_kernel, exp_dtype=exp_dtype),
+        _fwd_kernel,
         grid=(g, q_pad // BQ),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -212,10 +180,10 @@ def _run_fwd(queries, db, vals, temp, interpret, band,
     return num, den
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def softmax_interp_pallas(queries, db, vals, temp: float = 25.0,
                           interpret: bool = False,
-                          band=(0.0, 0.0, 0.0), exp_dtype=jnp.float32):
+                          band=(0.0, 0.0, 0.0)):
     """out[g, q, :] = sum_n softmax_n(-||q - db[g, n]||^2 / temp) vals[g, n, :].
 
     Args:
@@ -225,35 +193,26 @@ def softmax_interp_pallas(queries, db, vals, temp: float = 25.0,
       band: (margin_px, cell_size, wq) row-band truncation of the database
         scan — requires queries AND db slots in row-major grid order; margin
         must exceed max displacement + a few sqrt(temp).  (0, 0, 0) = off.
-        May be a traced [3] f32 array, making the margin data-dependent
-        (e.g. actual max displacement + slack — see focus.py's
-        interp_band_dynamic); no gradient flows to it.
-      exp_dtype: exp-weight/value dtype for BOTH directions (f32 default;
-        bfloat16 = 2x VPU exp + 2x MXU accumulation; the forward
-        normalization cancels most of the ~0.4%-per-weight noise, and the
-        backward recompute matches the XLA path's bf16 checkpointed exp).
     Returns:
       [G, Q, C] float32.
     """
-    num, den = _run_fwd(queries, db, vals, temp, interpret, band, exp_dtype)
+    num, den = _run_fwd(queries, db, vals, temp, interpret, band)
     return num / jnp.maximum(den, 1e-30)[..., None]
 
 
-def _vjp_fwd(queries, db, vals, temp, interpret, band, exp_dtype):
-    num, den = _run_fwd(queries, db, vals, temp, interpret, band, exp_dtype)
-    band = _band_arr(band)  # residual: traced bands reach the bwd kernel
+def _vjp_fwd(queries, db, vals, temp, interpret, band):
+    num, den = _run_fwd(queries, db, vals, temp, interpret, band)
     # maximum guard: the kernel skips max-subtraction (dist >= 0 keeps
     # exp <= 1), so a query whose EVERY database point is far (e.g. all
     # trajectories blown out of the band mid-divergence) underflows den to
     # exactly 0; 0/0 would poison training with NaNs, 0/1e-30 degrades to
     # zero flow for that cell.  The backward pre-scale below has always had
     # the same guard.
-    return num / jnp.maximum(den, 1e-30)[..., None], (queries, db, vals, den,
-                                                      band)
+    return num / jnp.maximum(den, 1e-30)[..., None], (queries, db, vals, den)
 
 
-def _vjp_bwd(temp, interpret, exp_dtype, residuals, g_out):
-    queries, db, vals, den, band = residuals
+def _vjp_bwd(temp, interpret, band, residuals, g_out):
+    queries, db, vals, den = residuals
     g, n, c = vals.shape
     q = queries.shape[0]
     qt = _pad_last(queries.T, BQ, value=1e6)
@@ -266,7 +225,7 @@ def _vjp_bwd(temp, interpret, exp_dtype, residuals, g_out):
     gt = _pad_last(jnp.swapaxes(g_scaled, 1, 2), BQ)      # [G, C, Qp]
 
     dvals_t = pl.pallas_call(
-        functools.partial(_bwd_kernel, exp_dtype=exp_dtype),
+        _bwd_kernel,
         grid=(g, q_pad // BQ),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -280,9 +239,9 @@ def _vjp_bwd(temp, interpret, exp_dtype, residuals, g_out):
         interpret=interpret,
     )(temp_arr, _band_arr(band), qt, dbt, gt)
     dvals = jnp.swapaxes(dvals_t[:, :, :n], 1, 2)
-    # No gradient to queries (static grid), db (weights are stop-grad by
-    # the loss's design), or band (scan bounds).
-    return None, None, dvals, None
+    # No gradient to queries (static grid) or db (weights are stop-grad by
+    # the loss's design).
+    return None, None, dvals
 
 
 softmax_interp_pallas.defvjp(_vjp_fwd, _vjp_bwd)

@@ -93,6 +93,22 @@ class FocusLossConfig:
     # (exp(-20^2/25) ~ 1e-7), so 80 leaves 20 px of slack; the band scan is
     # the interp kernel's dominant cost (linear in the margin).  0 disables.
     interp_band_px: float = 80.0
+    # Data-dependent band margin: compute the ACTUAL max |y displacement| of
+    # the trajectories from their nominal grid rows on device each step and
+    # use maxdisp + 4*sqrt(temp) + cell as the margin (the kernel's scan
+    # bounds are already dynamic).  The static interp_band_px then only
+    # matters as documentation of the worst case: early/mid-training
+    # displacements are a few px, so the scanned slot band shrinks ~3-4x.
+    # Exact to the same exp(-slack^2/temp) ~ 1e-7 truncation as the static
+    # band, and SAFER when displacements exceed the static cap (the band
+    # grows to cover them).  Requires knn_method='softmax' + pallas interp.
+    interp_band_dynamic: bool = False
+    # Pallas-interp exp/value dtype (both directions): 'float32' (default)
+    # or 'bfloat16' (2x VPU exp + 2x MXU accumulation; forward weights are
+    # normalized so the ~0.4%-per-weight noise mostly cancels, and the
+    # backward recompute mirrors the XLA path's bf16 checkpointed exp —
+    # see ops/pallas/softmax_interp.py).
+    interp_exp_dtype: str = "float32"
     # IWE accumulation implementation: 'direct'/'sorted' scatter-add,
     # 'matmul' = blocked one-hot outer products on the MXU (XLA's scatter is
     # serialized at ~25 M elem/s on TPU and dominated the train step; the
@@ -284,10 +300,29 @@ def _softmax_interpolate_flow(cfg: FocusLossConfig, grid_points: jnp.ndarray,
     if use_pallas and cfg.dist_norm == "l2":
         from ..ops.pallas import softmax_interp_pallas
 
-        band = (float(cfg.interp_band_px), float(cfg.lut_superpixel_size),
-                float(wq))
+        s = float(cfg.lut_superpixel_size)
+        if cfg.interp_band_dynamic and cfg.interp_band_px > 0:
+            # Nominal per-slot grid rows: the banding contract is that db
+            # slots are row-major over the same grid as the queries (true
+            # when the trajectory patch grid matches the LUT grid, the
+            # reference configuration).  maxdisp bounds |db_y - slot_y|, so
+            # a db point within the kernel tail of a query has its slot row
+            # within maxdisp + tail of the query row.
+            if n == grid_points.shape[0]:
+                slot_y = grid_points[:, 0]
+            else:
+                slot_y = (jnp.arange(n, dtype=jnp.float32) // wq) * s \
+                    + s / 2.0 - 0.5
+            maxdisp = jnp.max(jnp.abs(db[..., 0] - slot_y[None, :]))
+            margin = jax.lax.stop_gradient(maxdisp) + 4.0 * float(np.sqrt(temp)) + s
+            band = jnp.stack([margin, jnp.float32(s), jnp.float32(wq)])
+        else:
+            band = (float(cfg.interp_band_px), s, float(wq))
+        exp_dtype = (jnp.bfloat16 if cfg.interp_exp_dtype == "bfloat16"
+                     else jnp.float32)
+        interpret = jax.default_backend() != "tpu"
         out = softmax_interp_pallas(grid_points, db, vals, float(temp),
-                                    False, band)
+                                    interpret, band, exp_dtype)
         out = out.reshape(b, n_bins, hq, wq, c)
         flow_lut = out[..., :n_tref * 2].reshape(b, n_bins, hq, wq, n_tref, 2)
         flow_to_next = None

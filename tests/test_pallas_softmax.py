@@ -85,6 +85,41 @@ def test_band_truncation_matches_full(rng):
                                atol=1e-4, rtol=1e-3)
 
 
+def test_traced_band_matches_full(rng):
+    """A traced [3] band array (data-dependent margin, the
+    interp_band_dynamic path) must match the full scan and the static
+    tuple band, under jit, including gradients."""
+    gh, gw, cell = 24, 32, 4.0
+    ys = (np.arange(gh) * cell + cell / 2 - 0.5)
+    xs = (np.arange(gw) * cell + cell / 2 - 0.5)
+    gy, gx = np.meshgrid(ys, xs, indexing="ij")
+    queries = jnp.asarray(
+        np.stack([gy.reshape(-1), gx.reshape(-1)], -1).astype(np.float32))
+    base = np.asarray(queries)
+    db = jnp.asarray((base[None] + rng.uniform(-6, 6, (2,) + base.shape))
+                     .astype(np.float32))
+    vals = jnp.asarray(rng.normal(size=(2, base.shape[0], 3))
+                       .astype(np.float32))
+
+    full = softmax_interp_pallas(queries, db, vals, 16.0, True)
+
+    @jax.jit
+    def banded(db, vals):
+        maxdisp = jnp.max(jnp.abs(db[..., 0] - queries[None, :, 0]))
+        band = jnp.stack([maxdisp + 4.0 * jnp.sqrt(16.0) + cell,
+                          jnp.float32(cell), jnp.float32(gw)])
+        return softmax_interp_pallas(queries, db, vals, 16.0, True, band)
+
+    np.testing.assert_allclose(np.asarray(banded(db, vals)),
+                               np.asarray(full), atol=1e-4, rtol=1e-4)
+
+    g_full = jax.grad(lambda v: jnp.sum(
+        softmax_interp_pallas(queries, db, v, 16.0, True) ** 2))(vals)
+    g_band = jax.grad(lambda v: jnp.sum(banded(db, v) ** 2))(vals)
+    np.testing.assert_allclose(np.asarray(g_band), np.asarray(g_full),
+                               atol=1e-4, rtol=1e-3)
+
+
 def test_starved_query_gives_zero_not_nan(rng):
     """A query whose every db point is far away underflows den to 0 (the
     kernel has no max-subtraction); the result must be 0, not 0/0 = NaN,
@@ -119,3 +154,14 @@ def test_bf16_exp_close_to_f32(rng):
     # Normalized interpolation: bf16 weight noise largely cancels.
     np.testing.assert_allclose(np.asarray(out16), np.asarray(out32),
                                atol=2e-2, rtol=2e-2)
+
+    # The backward recomputes weights in exp_dtype too (mixed-precision
+    # gradient: ~0.4% relative, same as the XLA path's bf16 checkpoint).
+    g32 = jax.grad(lambda v: jnp.sum(
+        softmax_interp_pallas(queries, db, v, 16.0, True) ** 2))(vals)
+    g16 = jax.grad(lambda v: jnp.sum(
+        softmax_interp_pallas(queries, db, v, 16.0, True,
+                              (0.0, 0.0, 0.0), jnp.bfloat16) ** 2))(vals)
+    scale = float(jnp.max(jnp.abs(g32)))
+    np.testing.assert_allclose(np.asarray(g16), np.asarray(g32),
+                               atol=2e-2 * scale, rtol=2e-2)

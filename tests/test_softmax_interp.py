@@ -52,6 +52,29 @@ def test_softmax_on_flow_to_next(rng):
     assert "smoothness_loss" in logs
 
 
+def test_dynamic_band_matches_static(rng):
+    """interp_band_dynamic (on-device max-displacement margin) must match
+    the full-scan pallas path bit-close: truncation is below float noise."""
+    cfg_full = make_cfg(knn_method="softmax", use_pallas_interp=True,
+                        interp_band_px=0.0)
+    cfg_dyn = dataclasses.replace(cfg_full, interp_band_px=80.0,
+                                  interp_band_dynamic=True)
+    flow = (3.0, -2.0)
+    events = jnp.asarray(make_translating_events(rng, flow))
+    times = jnp.concatenate([jnp.asarray([0.5]),
+                             jnp.asarray((np.arange(NBINS) + 0.5) / NBINS)])
+    traj = trajectories_for_flow(np.asarray(times), flow)
+
+    def loss(cfg, t):
+        return focus_loss(cfg, t, times, events)[0]
+
+    lf, gf = jax.value_and_grad(lambda t: loss(cfg_full, t))(traj)
+    ld, gd = jax.value_and_grad(lambda t: loss(cfg_dyn, t))(traj)
+    np.testing.assert_allclose(float(ld), float(lf), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gd), np.asarray(gf),
+                               atol=1e-5, rtol=1e-4)
+
+
 def test_softmax_true_flow_sharper(rng):
     cfg = make_cfg(knn_method="softmax")
     flow = (5.0, 7.0)
