@@ -121,13 +121,15 @@ class FocusLossConfig:
     # sub-block then sits in a ~2-superpixel strip, so its warped taps span
     # <= strip + 2*max displacement rows (DSEC caps at 60 px -> 128 + slack).
     # Exact: a sub-block whose extent exceeds the band runs a full-height
-    # pl.when branch inside the kernel (ops/pallas/iwe_vote.py).  0 disables
-    # (golden-tested but not yet measured faster end-to-end on the chip).
-    vote_band_px: int = 0
+    # pl.when branch inside the kernel (ops/pallas/iwe_vote.py).  0 disables;
+    # None = auto (144 on the TPU backend — measured 406 -> 370 ms per
+    # b8 x 1M train step vs the full-height vote; grad 46 vs 72 ms).
+    vote_band_px: Optional[int] = None
     # Forward LUT-gather implementation when events are cell-sorted:
     # 'xla' (plain gather, ~66 ms at b8) or 'pallas' (banded one-hot
-    # contraction, ops/pallas/lut_gather.py — golden-tested, pending
-    # on-chip measurement).  None = auto ('xla' for now).
+    # contraction, ops/pallas/lut_gather.py).  None = auto ('pallas' on the
+    # TPU backend — measured 406 -> 359 ms per b8 x 1M train step; with the
+    # banded vote the combo lands 337 ms = 24.9 M events/s).
     lut_gather_impl: Optional[str] = None
 
     # The trajectories handed to `focus_loss` must include pixel offsets
@@ -421,8 +423,10 @@ def warp_events(cfg: FocusLossConfig, events: jnp.ndarray,
         lut_grid = jnp.transpose(flow_lut, (0, 2, 1, 3, 4, 5)).reshape(
             b, hq * n_bins, wq, n_tref * 2)
         bwd_impl = "sorted"
-        fwd_impl = "pallas_sorted" if cfg.lut_gather_impl == "pallas" \
-            else "xla"
+        lut_impl = cfg.lut_gather_impl
+        if lut_impl is None:
+            lut_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        fwd_impl = "pallas_sorted" if lut_impl == "pallas" else "xla"
         # A 1024-event sub-block of y-major-sorted events spans <= 2 iy
         # values (2 * n_bins rows) away from sparse regions; +2 slack.
         fwd_band = n_bins * 2 + 2
@@ -479,11 +483,15 @@ def make_iwes(cfg: FocusLossConfig, warped: jnp.ndarray, t_ref: jnp.ndarray,
         # per b4 x 1M train step against the XLA 'matmul' formulation.
         impl = "pallas" if jax.default_backend() == "tpu" else "direct"
 
+    vote_band = cfg.vote_band_px
+    if vote_band is None:
+        vote_band = 144 if jax.default_backend() == "tpu" else 0
+
     def vote(c, wgt):
-        if impl == "pallas" and cell_sorted and cfg.vote_band_px > 0:
+        if impl == "pallas" and cell_sorted and vote_band > 0:
             from ..ops.pallas.iwe_vote import iwe_vote_pallas_sorted
 
-            return iwe_vote_pallas_sorted(c, wgt, h, w, cfg.vote_band_px)
+            return iwe_vote_pallas_sorted(c, wgt, h, w, vote_band)
         return ev_ops.iwe_bilinear_vote_batch(c, wgt, height=h, width=w,
                                               scatter_impl=impl)
 
