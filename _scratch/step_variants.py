@@ -68,6 +68,7 @@ def main():
         "dynall": loss_cfg(interp_band_dynamic=True,
                            interp_exp_dtype="bfloat16", vote_band_px=144,
                            lut_gather_impl="pallas"),
+        "perbin0": loss_cfg(interp_band_per_bin=False),
     }
     want = sys.argv[1:] or list(variants)
 

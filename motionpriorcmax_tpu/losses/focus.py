@@ -103,6 +103,19 @@ class FocusLossConfig:
     # band, and SAFER when displacements exceed the static cap (the band
     # grows to cover them).  Requires knn_method='softmax' + pallas interp.
     interp_band_dynamic: bool = False
+    # Per-bin band margins (static-band refinement): group (batch, bin)'s
+    # database holds trajectory positions at that bin's MIDTIME, and a
+    # linear-basis trajectory (polynomial num_basis=1, the production DSEC
+    # config: disp(t) = c1 * t with |c1| <= cap) has moved at most
+    # cap * t_mid by then — so bin b's margin is
+    # tail + (interp_band_px - tail) * t_mid_b  (tail = 4 sqrt(temp)),
+    # and early bins scan a proportionally narrower slot band (~35% less
+    # total scan at 15 bins).  Numerically exact under the same
+    # tail-truncation argument as the static band, but ONLY sound for bases
+    # with |disp(t)| <= |disp(1)| * t; None = auto (the trajectory-net steps
+    # enable it exactly when basis_type == 'polynomial' and num_basis == 1,
+    # and it is treated as False here otherwise).
+    interp_band_per_bin: Optional[bool] = None
     # Pallas-interp exp/value dtype (both directions): 'float32' (default)
     # or 'bfloat16' (2x VPU exp + 2x MXU accumulation; forward weights are
     # normalized so the ~0.4%-per-weight noise mostly cancels, and the
@@ -318,6 +331,16 @@ def _softmax_interpolate_flow(cfg: FocusLossConfig, grid_points: jnp.ndarray,
             maxdisp = jnp.max(jnp.abs(db[..., 0] - slot_y[None, :]))
             margin = jax.lax.stop_gradient(maxdisp) + 4.0 * float(np.sqrt(temp)) + s
             band = jnp.stack([margin, jnp.float32(s), jnp.float32(wq)])
+        elif cfg.interp_band_per_bin and cfg.interp_band_px > 0:
+            margin = float(cfg.interp_band_px)
+            tail = 4.0 * float(np.sqrt(temp))
+            t_mid = (np.arange(n_bins, dtype=np.float32) + 0.5) / n_bins
+            mb = np.minimum(tail + (margin - tail) * t_mid, margin)
+            rows = np.stack(
+                [np.tile(mb, b),
+                 np.full(b * n_bins, s, np.float32),
+                 np.full(b * n_bins, wq, np.float32)], axis=-1)
+            band = jnp.asarray(rows, jnp.float32)   # [G, 3] per-group margins
         else:
             band = (float(cfg.interp_band_px), s, float(wq))
         exp_dtype = (jnp.bfloat16 if cfg.interp_exp_dtype == "bfloat16"

@@ -14,20 +14,24 @@ for far points is exactly the desired truncation (the nearest trajectory is
 always within a few pixels, so rows never vanish).
 
 Layout notes (Mosaic tiling wants 128-multiple lane dims):
-  * queries travel as [Qp, 8] (y, x, 0...0 columns) and db as [G, 8, N]
-    (y/x rows + EXPLICIT zero rows): the cross-term dot q @ d is then a
-    canonical [BQ, 8] @ [8, BN] MXU contraction whose k padding WE zeroed.
-    An earlier [2, BQ] layout with an in-kernel transpose + k=2 dot
-    produced garbage on real TPUs (interpret mode was fine): Mosaic's
-    implicit sublane padding is NOT guaranteed zero, and the transpose +
-    k<8 contraction read it.  Never contract over implicitly-padded dims.
-  * both coordinate sets are centered by the query mean before the kernel:
-    the expansion 2 q.d - q.q - d.d cancels catastrophically in f32 when
-    |coords| ~ image size (~0.1 px^2 error at 640 px), centering halves
-    the magnitudes.
+  * queries travel as [2, Qp] (y row, x row) and db as [G, 2, N]; the
+    cross-term dot rides the MXU as a [BQ, 2] @ [2, BN] contraction with
+    precision=HIGHEST — Mosaic's DEFAULT f32 dot is a single bf16 MXU pass,
+    which at pixel-scale coordinates is a ~0.4% (= px-scale) error on q.d
+    that the exp amplifies to O(1) weight error (measured 0.75 max abs
+    output error on chip; interpret mode hid it).  The multi-pass f32 dot
+    is exact to f32 rounding and costs nothing at k=2.
+  * the scaling constants (2/temp, log2 e) are folded into the hoisted
+    query operands so the per-element weight build is sub+sub+exp2.
   * values travel as [G, C+1, N] with an appended ones-row, so the
     denominator falls out of the same matmul as the numerator
   * the kernel computes out^T [C+1, BQ] = vals_tile [C+1, BN] @ w^T [BN, BQ]
+    at default dot precision: the bf16-pass truncation of weights/values is
+    ~0.4% relative on the NORMALIZED interpolation (num and den share it),
+    the same noise class as the bf16-UNet default and the documented
+    one-hot-matmul paths (ops/events.py).
+  * queries are edge-padded to the BQ multiple (see _pad_last_edge): a far
+    sentinel would blow the final block's _tile_band up to a full scan.
 
 The backward pass (d vals = w^T (g / den); the weights are stop-gradient by
 design, matching the reference's no-grad interpolation weights,
@@ -51,26 +55,32 @@ from jax.experimental.pallas import tpu as pltpu
 BQ = 512
 BN = 1024
 
+_LOG2E = 1.4426950408889634  # exp(x) == exp2(x * log2(e))
+
 
 def _tile_band(band_ref, q_ref, n):
     """Database-tile range [t_lo, t_hi) covering this query block's row band.
 
-    band_ref holds (margin_px, cell_size, wq); the db slots are row-major
-    over the trajectory START grid, so slots within margin of the block's
-    query rows live in a contiguous slot band.  Tiles outside carry weights
-    < exp(-margin^2/temp) ~ 0, so truncation is numerically exact for
-    margin >> sqrt(temp) + max displacement.  margin_px <= 0 disables
-    banding (full range).
+    band_ref holds rows of (margin_px, cell_size, wq); the db slots are
+    row-major over the trajectory START grid, so slots within margin of the
+    block's query rows live in a contiguous slot band.  Tiles outside carry
+    weights < exp(-margin^2/temp) ~ 0, so truncation is numerically exact
+    for margin >> sqrt(temp) + max displacement.  margin_px <= 0 disables
+    banding (full range).  One row = a margin shared by every group; G rows
+    = a per-group margin (e.g. per-bin: a linear-basis trajectory has moved
+    at most cap * t_mid by bin midtime, so early bins scan a much narrower
+    band — see losses/focus.py interp_band_per_bin).
     """
-    margin = band_ref[0, 0]
-    cell = band_ref[0, 1]
-    wq = band_ref[0, 2]
+    r = pl.program_id(0) if band_ref.shape[0] > 1 else 0
+    margin = band_ref[r, 0]
+    cell = band_ref[r, 1]
+    wq = band_ref[r, 2]
     qy = q_ref[0:1, :]
     full = jnp.int32(n // BN)
 
     min_qy = jnp.min(qy)
-    # Padding queries sit at 1e6 and would blow the band up; clamp the max to
-    # the largest real coordinate scale (margin handles the rest).
+    # Queries are edge-padded (real coordinates), so max is already tight;
+    # the clamp is a belt-and-braces guard against sentinel-like inputs.
     max_qy = jnp.minimum(jnp.max(qy), jnp.float32(1e5))
     lo_slot = jnp.floor((min_qy - margin) / cell) * wq
     hi_slot = (jnp.floor((max_qy + margin) / cell) + 1.0) * wq
@@ -82,37 +92,47 @@ def _tile_band(band_ref, q_ref, n):
     return t_lo, t_hi
 
 
-def _exp_weights(qt, qn, db_ref, temp, t, exp_dtype=jnp.float32):
+def _exp_weights(qts, qns, db_ref, scale, t, exp_dtype=jnp.float32):
     """w [BQ, BN] = exp(-||q - d||^2 / temp) for database tile t.
 
     The squared distance is expanded as q.q + d.d - 2 q.d so the cross term
     rides the (otherwise idle) MXU as a rank-2 matmul — the naive
     sub/mul/add build is ~8 VPU ops per element and put the whole kernel at
-    VPU roofline; this form is mul+add+add+exp (~4), with the row/col norms
-    (qt [BQ, 2] / qn [BQ, 1]) loop-invariant and hoisted by the caller.
+    VPU roofline.  All scaling constants are folded into the hoisted
+    operands: the caller passes qts = qt * (2 log2(e)/temp) and
+    qns = |q|^2 * log2(e)/temp, and the tile norm dn absorbs the same
+    scale, so the per-element work is sub+sub+exp2 — exp2 is the VPU's
+    native transcendental (exp(x) lowers to exp2(x*log2e), one more mul).
     exp_dtype=bfloat16 runs the exp at 2x VPU rate (weights are <= 1, ~0.4%
     relative each — the XLA path does the same, losses/focus.py).
     """
     dbt = db_ref[0, :, pl.ds(t * BN, BN)]            # [2, BN]
-    cross = jnp.dot(qt, dbt, preferred_element_type=jnp.float32)  # [BQ, BN]
-    dn = jnp.sum(dbt * dbt, axis=0, keepdims=True)   # [1, BN]
-    inv_t = 1.0 / temp
-    return jnp.exp(((2.0 * cross - qn - dn) * inv_t).astype(exp_dtype))
+    # precision=HIGHEST: Mosaic's default f32 dot truncates the operands to
+    # one bf16 MXU pass — at pixel-scale coordinates that is a ~0.4%
+    # relative error on q.d, i.e. PX-SCALE distance error, which the exp
+    # amplifies to O(1) weight error (measured 0.75 max abs output error on
+    # chip vs the dense reference; interpret mode hid it).  The multi-pass
+    # f32 dot is exact to f32 rounding; at k=8 the extra passes are noise.
+    cross = jnp.dot(qts, dbt, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)  # [BQ, BN]
+    dn = jnp.sum(dbt * dbt, axis=0, keepdims=True) * scale  # [1, BN]
+    return jnp.exp2((cross - qns - dn).astype(exp_dtype))
 
 
 def _fwd_kernel(temp_ref, band_ref, q_ref, db_ref, vals_ref, out_ref, *,
                 exp_dtype=jnp.float32):
     """q_ref [2, BQ]; db_ref [1, 2, N]; vals_ref [1, C1, N]; out [1, C1, BQ]."""
-    temp = temp_ref[0, 0]
+    scale = _LOG2E / temp_ref[0, 0]
     c1 = vals_ref.shape[1]
     n = db_ref.shape[2]
     t_lo, t_hi = _tile_band(band_ref, q_ref, n)
     qt = jnp.transpose(q_ref[:, :])                  # [BQ, 2] (hoisted)
-    qn = jnp.sum(qt * qt, axis=1, keepdims=True)     # [BQ, 1]
+    qts = qt * (2.0 * scale)
+    qns = jnp.sum(qt * qt, axis=1, keepdims=True) * scale  # [BQ, 1]
 
     def body(t, acc):
         vals_t = vals_ref[0, :, pl.ds(t * BN, BN)].astype(exp_dtype)
-        w = _exp_weights(qt, qn, db_ref, temp, t, exp_dtype)   # [BQ, BN]
+        w = _exp_weights(qts, qns, db_ref, scale, t, exp_dtype)  # [BQ, BN]
         # acc [C1, BQ] += vals_t [C1, BN] @ w^T [BN, BQ]
         return acc + jax.lax.dot_general(
             vals_t, w, (((1,), (1,)), ((), ())),
@@ -132,7 +152,7 @@ def _bwd_kernel(temp_ref, band_ref, q_ref, db_ref, gden_ref, dvals_ref, *,
     noise the XLA path's checkpointed backward has (losses/focus.py runs
     its exp in bf16 inside jax.checkpoint, so the recompute is bf16 there
     too); accumulation stays f32."""
-    temp = temp_ref[0, 0]
+    scale = _LOG2E / temp_ref[0, 0]
     i = pl.program_id(1)
     n = db_ref.shape[2]
     t_lo, t_hi = _tile_band(band_ref, q_ref, n)
@@ -143,10 +163,11 @@ def _bwd_kernel(temp_ref, band_ref, q_ref, db_ref, gden_ref, dvals_ref, *,
 
     g_scaled = gden_ref[0, :, :]                     # [C, BQ] (pre-divided)
     qt = jnp.transpose(q_ref[:, :])                  # [BQ, 2] (hoisted)
-    qn = jnp.sum(qt * qt, axis=1, keepdims=True)     # [BQ, 1]
+    qts = qt * (2.0 * scale)
+    qns = jnp.sum(qt * qt, axis=1, keepdims=True) * scale  # [BQ, 1]
 
     def body(t, _):
-        w = _exp_weights(qt, qn, db_ref, temp, t, exp_dtype)  # [BQ, BN]
+        w = _exp_weights(qts, qns, db_ref, scale, t, exp_dtype)  # [BQ, BN]
         upd = jnp.dot(g_scaled.astype(w.dtype), w,
                       preferred_element_type=jnp.float32)
         dvals_ref[0, :, pl.ds(t * BN, BN)] = (
@@ -164,18 +185,38 @@ def _pad_last(x: jnp.ndarray, mult: int, value=0.0) -> jnp.ndarray:
     return jnp.pad(x, widths, constant_values=value)
 
 
-def _band_arr(band):
-    """band -> [1, 3] f32 SMEM operand.
+def _pad_last_edge(x: jnp.ndarray, mult: int) -> jnp.ndarray:
+    """Pad the last dim to a multiple of `mult` by edge replication.
 
-    Accepts a static (margin_px, cell, wq) tuple OR a traced [3] array —
-    the margin may then be a data-dependent scalar (e.g. the running max
-    trajectory displacement + tail slack), which shrinks the scanned slot
-    band early in training when displacements are far below the static
-    worst case.  The kernel's t_lo/t_hi are dynamic either way.
+    Used for the QUERY operand: a far-sentinel pad (1e6) makes the final
+    query block's _tile_band blow up to a full-database scan (its max_qy is
+    the sentinel), costing ~n/BN tiles instead of the band's few.  Padding
+    with the last real query keeps the band tight; the duplicate outputs are
+    sliced away by the wrapper, and in the backward the padded cotangent
+    columns are zero, so the duplicates contribute nothing to d vals.
+    """
+    pad = (-x.shape[-1]) % mult
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * (x.ndim - 1) + [(0, pad)]
+    return jnp.pad(x, widths, mode="edge")
+
+
+def _band_arr(band):
+    """band -> [R, 3] f32 SMEM operand (R = 1 shared, or G per-group).
+
+    Accepts a static (margin_px, cell, wq) tuple, a [3] array (possibly
+    traced — the margin may be data-dependent, e.g. the running max
+    trajectory displacement + tail slack), or a [G, 3] array giving each
+    group its own margin (per-bin banding).  The kernel's t_lo/t_hi are
+    dynamic either way.
     """
     if isinstance(band, (tuple, list)):
         return jnp.asarray([list(band)], jnp.float32)  # [1, 3]
-    return jnp.asarray(band, jnp.float32).reshape(1, 3)
+    band = jnp.asarray(band, jnp.float32)
+    if band.ndim == 2:
+        return band                                    # [G, 3]
+    return band.reshape(1, 3)
 
 
 def _run_fwd(queries, db, vals, temp, interpret, band,
@@ -184,7 +225,7 @@ def _run_fwd(queries, db, vals, temp, interpret, band,
     den [G, Q])."""
     g, n, c = vals.shape
     q = queries.shape[0]
-    qt = _pad_last(queries.T, BQ, value=1e6)             # [2, Qp]
+    qt = _pad_last_edge(queries.T, BQ)                   # [2, Qp]
     dbt = _pad_last(jnp.swapaxes(db, 1, 2), BN, -1e6)    # [G, 2, Np]
     ones = jnp.ones((g, n, 1), vals.dtype)
     vals_ext = jnp.concatenate([vals, ones], axis=-1)     # [G, N, C+1]
@@ -256,7 +297,7 @@ def _vjp_bwd(temp, interpret, exp_dtype, residuals, g_out):
     queries, db, vals, den, band = residuals
     g, n, c = vals.shape
     q = queries.shape[0]
-    qt = _pad_last(queries.T, BQ, value=1e6)
+    qt = _pad_last_edge(queries.T, BQ)
     dbt = _pad_last(jnp.swapaxes(db, 1, 2), BN, -1e6)
     q_pad, n_pad = qt.shape[1], dbt.shape[2]
     temp_arr = jnp.full((1, 1), temp, jnp.float32)

@@ -204,6 +204,14 @@ def _step(cfg: TrajectoryNetConfig, loss_cfg: FocusLossConfig,
 
     Reference: TrajectoryNet.step (src/modules/trajectory_net.py:142-161).
     """
+    if loss_cfg.interp_band_per_bin is None:
+        # Per-bin interp banding is sound exactly when displacement grows
+        # linearly from the t=0 anchor: |disp(t)| = |c1| * t (see
+        # FocusLossConfig.interp_band_per_bin).
+        loss_cfg = dataclasses.replace(
+            loss_cfg, interp_band_per_bin=(
+                cfg.basis_type == "polynomial" and cfg.num_basis == 1))
+
     model = TrajectoryModel(cfg)
     variables = {"params": params, "batch_stats": batch_stats}
 

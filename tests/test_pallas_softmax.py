@@ -165,3 +165,72 @@ def test_bf16_exp_close_to_f32(rng):
     scale = float(jnp.max(jnp.abs(g32)))
     np.testing.assert_allclose(np.asarray(g16), np.asarray(g32),
                                atol=2e-2 * scale, rtol=2e-2)
+
+
+def test_per_group_band_matches_full(rng):
+    """A [G, 3] band (per-group margins) must match the full scan when each
+    group's margin covers that group's displacement."""
+    gh, gw, cell = 24, 32, 4.0
+    ys = (np.arange(gh) * cell + cell / 2 - 0.5)
+    xs = (np.arange(gw) * cell + cell / 2 - 0.5)
+    gy, gx = np.meshgrid(ys, xs, indexing="ij")
+    queries = jnp.asarray(
+        np.stack([gy.reshape(-1), gx.reshape(-1)], -1).astype(np.float32))
+    base = np.asarray(queries)
+    # Group g's trajectories displaced by up to 2*(g+1) px (linear-in-bin
+    # displacement growth, like bin midtimes).
+    g_n = 3
+    db = np.stack([base + rng.uniform(-2 * (g + 1), 2 * (g + 1), base.shape)
+                   for g in range(g_n)]).astype(np.float32)
+    vals = jnp.asarray(rng.normal(size=(g_n, base.shape[0], 3))
+                       .astype(np.float32))
+    db = jnp.asarray(db)
+
+    tail = 4.0 * np.sqrt(16.0) + cell
+    band = jnp.asarray(
+        np.stack([[2.0 * (g + 1) + tail, cell, float(gw)]
+                  for g in range(g_n)], 0).astype(np.float32))
+
+    full = softmax_interp_pallas(queries, db, vals, 16.0, True)
+    banded = softmax_interp_pallas(queries, db, vals, 16.0, True, band)
+    np.testing.assert_allclose(np.asarray(banded), np.asarray(full),
+                               atol=1e-4, rtol=1e-4)
+
+    g_full = jax.grad(lambda v: jnp.sum(
+        softmax_interp_pallas(queries, db, v, 16.0, True) ** 2))(vals)
+    g_band = jax.grad(lambda v: jnp.sum(
+        softmax_interp_pallas(queries, db, v, 16.0, True, band) ** 2))(vals)
+    np.testing.assert_allclose(np.asarray(g_band), np.asarray(g_full),
+                               atol=1e-4, rtol=1e-3)
+
+
+def test_per_bin_band_focus_interp(rng):
+    """interp_band_per_bin=True equals the shared static band for linear
+    trajectories (disp = flow * t_mid) through the focus-loss interp path."""
+    from motionpriorcmax_tpu.losses import FocusLossConfig
+    from motionpriorcmax_tpu.losses.focus import interpolate_flow
+
+    h, w, s, n_bins = 96, 128, 4, 5
+    hq, wq = h // s, w // s
+    n = hq * wq
+    mid = s / 2.0 - 0.5
+    gy, gx = np.meshgrid(np.arange(0, h, s) + mid, np.arange(0, w, s) + mid,
+                         indexing="ij")
+    seeds = np.stack([gy.reshape(-1), gx.reshape(-1)], -1).astype(np.float32)
+    flow = rng.uniform(-10, 10, (1, n, 2)).astype(np.float32)
+    t_mid = ((np.arange(n_bins) + 0.5) / n_bins).astype(np.float32)
+    traj_at_tmid = jnp.asarray(
+        seeds[None, None] + flow[:, None] * t_mid[None, :, None, None])
+    traj_at_tref = jnp.asarray(seeds[None, None] + flow[:, None] * 0.3)
+
+    def cfg(per_bin):
+        return FocusLossConfig(
+            image_shape=(h, w), num_tref=1, num_bins=n_bins,
+            lut_superpixel_size=s, knn_method="softmax", softmax_temp=16.0,
+            interp_band_px=30.0, interp_band_per_bin=per_bin,
+            use_pallas_interp=True, smooth_weight=0.0)
+
+    lut_a, _ = interpolate_flow(cfg(False), traj_at_tref, traj_at_tmid)
+    lut_b, _ = interpolate_flow(cfg(True), traj_at_tref, traj_at_tmid)
+    np.testing.assert_allclose(np.asarray(lut_b), np.asarray(lut_a),
+                               atol=1e-4, rtol=1e-4)
