@@ -116,6 +116,13 @@ class FocusLossConfig:
     # enable it exactly when basis_type == 'polynomial' and num_basis == 1,
     # and it is treated as False here otherwise).
     interp_band_per_bin: Optional[bool] = None
+    # Pallas-interp weight-tile build: 'vpu' (direct prescaled-coordinate
+    # difference — exact to f32 and the fast path) or 'mxu' (distance
+    # expansion with a precision=HIGHEST cross-term dot; the single-pass
+    # DEFAULT dot is numerically WRONG on real TPUs — its result rounding
+    # is px-scale — and HIGHEST's 6 passes cost ~137 ms per b8 x 1M step).
+    # None = auto ('vpu').  See ops/pallas/softmax_interp.py.
+    interp_cross: Optional[str] = None
     # Pallas-interp exp/value dtype (both directions): 'float32' (default)
     # or 'bfloat16' (2x VPU exp + 2x MXU accumulation; forward weights are
     # normalized so the ~0.4%-per-weight noise mostly cancels, and the
@@ -346,8 +353,9 @@ def _softmax_interpolate_flow(cfg: FocusLossConfig, grid_points: jnp.ndarray,
         exp_dtype = (jnp.bfloat16 if cfg.interp_exp_dtype == "bfloat16"
                      else jnp.float32)
         interpret = jax.default_backend() != "tpu"
+        cross_impl = cfg.interp_cross or "vpu"
         out = softmax_interp_pallas(grid_points, db, vals, float(temp),
-                                    interpret, band, exp_dtype)
+                                    interpret, band, exp_dtype, cross_impl)
         out = out.reshape(b, n_bins, hq, wq, c)
         flow_lut = out[..., :n_tref * 2].reshape(b, n_bins, hq, wq, n_tref, 2)
         flow_to_next = None

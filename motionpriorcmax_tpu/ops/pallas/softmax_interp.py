@@ -14,15 +14,27 @@ for far points is exactly the desired truncation (the nearest trajectory is
 always within a few pixels, so rows never vanish).
 
 Layout notes (Mosaic tiling wants 128-multiple lane dims):
-  * queries travel as [2, Qp] (y row, x row) and db as [G, 2, N]; the
-    cross-term dot rides the MXU as a [BQ, 2] @ [2, BN] contraction with
-    precision=HIGHEST — Mosaic's DEFAULT f32 dot is a single bf16 MXU pass,
-    which at pixel-scale coordinates is a ~0.4% (= px-scale) error on q.d
-    that the exp amplifies to O(1) weight error (measured 0.75 max abs
-    output error on chip; interpret mode hid it).  The multi-pass f32 dot
-    is exact to f32 rounding and costs nothing at k=2.
-  * the scaling constants (2/temp, log2 e) are folded into the hoisted
-    query operands so the per-element weight build is sub+sub+exp2.
+  * queries travel as [2, Qp] (y row, x row) and db as [G, 2, N].
+  * the [BQ, BN] weight tile is built one of two ways (cross_impl):
+    'vpu' (default): w = exp2(-((qy-dy)^2 + (qx-dx)^2)) on prescaled
+      coordinates (sqrt(log2e/temp) folded into both operands in-kernel) —
+      sub/sub/mul/fma/exp2 per element, exact to f32 rounding of the
+      DIFFERENCE (no cancellation: at image scale this is ~100x more
+      accurate than any q.q + d.d - 2 q.d expansion, whose f32 floor is
+      ~5e-3 px^2 at 4e5-magnitude intermediates).
+    'mxu': the expansion form with the cross term as a [BQ, 2] @ [2, BN]
+      MXU contraction at precision=HIGHEST.  Mosaic's DEFAULT f32 dot is a
+      single bf16 MXU pass whose RESULT carries ~0.4% relative error even
+      with bf16-representable operands (measured: a bf16-exact hi/mid/lo
+      split of the operands shows the identical ~0.4%-of-result error, so
+      the rounding is in the accumulation/result path, not operand
+      truncation — _scratch/si_split16_dead.py) — at pixel-scale
+      coordinates that is px-scale distance error that the exp amplifies
+      to O(1) weight error.  HIGHEST is exact but runs 6 MXU passes
+      (measured +137 ms on the b8 x 1M train step vs the single pass).
+      Kept for A/B and for hardware where the VPU build loses.
+  * for 'mxu' the scaling constants (2/temp, log2 e) are folded into the
+    hoisted query operands so the per-element weight build is sub+sub+exp2.
   * values travel as [G, C+1, N] with an appended ones-row, so the
     denominator falls out of the same matmul as the numerator
   * the kernel computes out^T [C+1, BQ] = vals_tile [C+1, BN] @ w^T [BN, BQ]
@@ -92,47 +104,72 @@ def _tile_band(band_ref, q_ref, n):
     return t_lo, t_hi
 
 
-def _exp_weights(qts, qns, db_ref, scale, t, exp_dtype=jnp.float32):
-    """w [BQ, BN] = exp(-||q - d||^2 / temp) for database tile t.
+def _exp_weights_mxu(qts, qns, db_ref, scale, t, exp_dtype=jnp.float32):
+    """w [BQ, BN] = exp(-||q - d||^2 / temp) for database tile t ('mxu').
 
     The squared distance is expanded as q.q + d.d - 2 q.d so the cross term
-    rides the (otherwise idle) MXU as a rank-2 matmul — the naive
-    sub/mul/add build is ~8 VPU ops per element and put the whole kernel at
-    VPU roofline.  All scaling constants are folded into the hoisted
-    operands: the caller passes qts = qt * (2 log2(e)/temp) and
-    qns = |q|^2 * log2(e)/temp, and the tile norm dn absorbs the same
-    scale, so the per-element work is sub+sub+exp2 — exp2 is the VPU's
-    native transcendental (exp(x) lowers to exp2(x*log2e), one more mul).
-    exp_dtype=bfloat16 runs the exp at 2x VPU rate (weights are <= 1, ~0.4%
-    relative each — the XLA path does the same, losses/focus.py).
+    rides the (otherwise idle) MXU as a rank-2 matmul — scaling constants
+    are folded into the hoisted operands: the caller passes
+    qts = qt * (2 log2(e)/temp) and qns = |q|^2 * log2(e)/temp, and the
+    tile norm dn absorbs the same scale, so the per-element work is
+    sub+sub+exp2.  precision=HIGHEST is REQUIRED for correctness (see the
+    module docstring: the single-pass DEFAULT dot's result rounding is
+    px-scale distance error) and is what makes this variant slow.
     """
     dbt = db_ref[0, :, pl.ds(t * BN, BN)]            # [2, BN]
-    # precision=HIGHEST: Mosaic's default f32 dot truncates the operands to
-    # one bf16 MXU pass — at pixel-scale coordinates that is a ~0.4%
-    # relative error on q.d, i.e. PX-SCALE distance error, which the exp
-    # amplifies to O(1) weight error (measured 0.75 max abs output error on
-    # chip vs the dense reference; interpret mode hid it).  The multi-pass
-    # f32 dot is exact to f32 rounding; at k=8 the extra passes are noise.
     cross = jnp.dot(qts, dbt, preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST)  # [BQ, BN]
     dn = jnp.sum(dbt * dbt, axis=0, keepdims=True) * scale  # [1, BN]
     return jnp.exp2((cross - qns - dn).astype(exp_dtype))
 
 
-def _fwd_kernel(temp_ref, band_ref, q_ref, db_ref, vals_ref, out_ref, *,
-                exp_dtype=jnp.float32):
-    """q_ref [2, BQ]; db_ref [1, 2, N]; vals_ref [1, C1, N]; out [1, C1, BQ]."""
+def _exp_weights_vpu(qy, qx, db_ref, rscale, t, exp_dtype=jnp.float32):
+    """w [BQ, BN] = exp(-||q - d||^2 / temp) for database tile t ('vpu').
+
+    Direct difference form on prescaled coordinates: the caller passes
+    qy/qx = q * sqrt(log2(e)/temp) as [BQ, 1] columns and rscale =
+    sqrt(log2(e)/temp); the tile coordinates get the same prescale (2*BN
+    muls, negligible vs the BQ*BN tile).  Per element: sub, sub, mul, fma,
+    negate, exp2 — exp2 is the VPU's native transcendental.  Exact to f32
+    rounding of the difference (no expansion cancellation, no MXU
+    precision hazard).  exp_dtype=bfloat16 runs the exp at 2x VPU rate
+    (weights are <= 1, ~0.4% relative each — the XLA path does the same,
+    losses/focus.py).
+    """
+    dbt = db_ref[0, :, pl.ds(t * BN, BN)] * rscale   # [2, BN]
+    dy = qy - dbt[0:1, :]                            # [BQ, BN]
+    dx = qx - dbt[1:2, :]                            # [BQ, BN]
+    d2 = dy * dy + dx * dx
+    return jnp.exp2((-d2).astype(exp_dtype))
+
+
+def _make_exp_weights(q_ref, temp_ref, cross_impl, exp_dtype):
+    """Hoist the query-side operands; return tile -> [BQ, BN] weight fn."""
     scale = _LOG2E / temp_ref[0, 0]
+    qt = jnp.transpose(q_ref[:, :])                  # [BQ, 2] (hoisted)
+    if cross_impl == "vpu":
+        rscale = jnp.sqrt(scale)
+        qy = qt[:, 0:1] * rscale                     # [BQ, 1]
+        qx = qt[:, 1:2] * rscale
+        return lambda db_ref, t: _exp_weights_vpu(
+            qy, qx, db_ref, rscale, t, exp_dtype)
+    qts = qt * (2.0 * scale)
+    qns = jnp.sum(qt * qt, axis=1, keepdims=True) * scale  # [BQ, 1]
+    return lambda db_ref, t: _exp_weights_mxu(
+        qts, qns, db_ref, scale, t, exp_dtype)
+
+
+def _fwd_kernel(temp_ref, band_ref, q_ref, db_ref, vals_ref, out_ref, *,
+                exp_dtype=jnp.float32, cross_impl="vpu"):
+    """q_ref [2, BQ]; db_ref [1, 2, N]; vals_ref [1, C1, N]; out [1, C1, BQ]."""
     c1 = vals_ref.shape[1]
     n = db_ref.shape[2]
     t_lo, t_hi = _tile_band(band_ref, q_ref, n)
-    qt = jnp.transpose(q_ref[:, :])                  # [BQ, 2] (hoisted)
-    qts = qt * (2.0 * scale)
-    qns = jnp.sum(qt * qt, axis=1, keepdims=True) * scale  # [BQ, 1]
+    exp_weights = _make_exp_weights(q_ref, temp_ref, cross_impl, exp_dtype)
 
     def body(t, acc):
         vals_t = vals_ref[0, :, pl.ds(t * BN, BN)].astype(exp_dtype)
-        w = _exp_weights(qts, qns, db_ref, scale, t, exp_dtype)  # [BQ, BN]
+        w = exp_weights(db_ref, t)                   # [BQ, BN]
         # acc [C1, BQ] += vals_t [C1, BN] @ w^T [BN, BQ]
         return acc + jax.lax.dot_general(
             vals_t, w, (((1,), (1,)), ((), ())),
@@ -144,7 +181,7 @@ def _fwd_kernel(temp_ref, band_ref, q_ref, db_ref, vals_ref, out_ref, *,
 
 
 def _bwd_kernel(temp_ref, band_ref, q_ref, db_ref, gden_ref, dvals_ref, *,
-                exp_dtype=jnp.float32):
+                exp_dtype=jnp.float32, cross_impl="vpu"):
     """d vals^T [C, N] += g_scaled [C, BQ] @ w [BQ, BN] per tile, accumulated
     over query blocks (grid dim 1 revisits the output block).
 
@@ -152,22 +189,19 @@ def _bwd_kernel(temp_ref, band_ref, q_ref, db_ref, gden_ref, dvals_ref, *,
     noise the XLA path's checkpointed backward has (losses/focus.py runs
     its exp in bf16 inside jax.checkpoint, so the recompute is bf16 there
     too); accumulation stays f32."""
-    scale = _LOG2E / temp_ref[0, 0]
     i = pl.program_id(1)
     n = db_ref.shape[2]
     t_lo, t_hi = _tile_band(band_ref, q_ref, n)
+    exp_weights = _make_exp_weights(q_ref, temp_ref, cross_impl, exp_dtype)
 
     @pl.when(i == 0)
     def _init():
         dvals_ref[0, :, :] = jnp.zeros_like(dvals_ref[0])
 
     g_scaled = gden_ref[0, :, :]                     # [C, BQ] (pre-divided)
-    qt = jnp.transpose(q_ref[:, :])                  # [BQ, 2] (hoisted)
-    qts = qt * (2.0 * scale)
-    qns = jnp.sum(qt * qt, axis=1, keepdims=True) * scale  # [BQ, 1]
 
     def body(t, _):
-        w = _exp_weights(qts, qns, db_ref, scale, t, exp_dtype)  # [BQ, BN]
+        w = exp_weights(db_ref, t)                   # [BQ, BN]
         upd = jnp.dot(g_scaled.astype(w.dtype), w,
                       preferred_element_type=jnp.float32)
         dvals_ref[0, :, pl.ds(t * BN, BN)] = (
@@ -220,7 +254,7 @@ def _band_arr(band):
 
 
 def _run_fwd(queries, db, vals, temp, interpret, band,
-             exp_dtype=jnp.float32):
+             exp_dtype=jnp.float32, cross_impl="vpu"):
     """queries [Q, 2], db [G, N, 2], vals [G, N, C] -> (num [G, Q, C],
     den [G, Q])."""
     g, n, c = vals.shape
@@ -235,7 +269,8 @@ def _run_fwd(queries, db, vals, temp, interpret, band,
     temp_arr = jnp.full((1, 1), temp, jnp.float32)
 
     out_t = pl.pallas_call(
-        functools.partial(_fwd_kernel, exp_dtype=exp_dtype),
+        functools.partial(_fwd_kernel, exp_dtype=exp_dtype,
+                          cross_impl=cross_impl),
         grid=(g, q_pad // BQ),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -253,10 +288,11 @@ def _run_fwd(queries, db, vals, temp, interpret, band,
     return num, den
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 6, 7))
 def softmax_interp_pallas(queries, db, vals, temp: float = 25.0,
                           interpret: bool = False,
-                          band=(0.0, 0.0, 0.0), exp_dtype=jnp.float32):
+                          band=(0.0, 0.0, 0.0), exp_dtype=jnp.float32,
+                          cross_impl: str = "vpu"):
     """out[g, q, :] = sum_n softmax_n(-||q - db[g, n]||^2 / temp) vals[g, n, :].
 
     Args:
@@ -273,15 +309,22 @@ def softmax_interp_pallas(queries, db, vals, temp: float = 25.0,
         bfloat16 = 2x VPU exp + 2x MXU accumulation; the forward
         normalization cancels most of the ~0.4%-per-weight noise, and the
         backward recompute matches the XLA path's bf16 checkpointed exp).
+      cross_impl: weight-tile build — 'vpu' (direct prescaled difference,
+        exact and fast; default) or 'mxu' (q.q+d.d-2q.d expansion with a
+        precision=HIGHEST cross dot; slower, kept for A/B).  See the
+        module docstring.
     Returns:
       [G, Q, C] float32.
     """
-    num, den = _run_fwd(queries, db, vals, temp, interpret, band, exp_dtype)
+    num, den = _run_fwd(queries, db, vals, temp, interpret, band, exp_dtype,
+                        cross_impl)
     return num / jnp.maximum(den, 1e-30)[..., None]
 
 
-def _vjp_fwd(queries, db, vals, temp, interpret, band, exp_dtype):
-    num, den = _run_fwd(queries, db, vals, temp, interpret, band, exp_dtype)
+def _vjp_fwd(queries, db, vals, temp, interpret, band, exp_dtype,
+             cross_impl):
+    num, den = _run_fwd(queries, db, vals, temp, interpret, band, exp_dtype,
+                        cross_impl)
     band = _band_arr(band)  # residual: traced bands reach the bwd kernel
     # maximum guard: the kernel skips max-subtraction (dist >= 0 keeps
     # exp <= 1), so a query whose EVERY database point is far (e.g. all
@@ -293,7 +336,7 @@ def _vjp_fwd(queries, db, vals, temp, interpret, band, exp_dtype):
                                                       band)
 
 
-def _vjp_bwd(temp, interpret, exp_dtype, residuals, g_out):
+def _vjp_bwd(temp, interpret, exp_dtype, cross_impl, residuals, g_out):
     queries, db, vals, den, band = residuals
     g, n, c = vals.shape
     q = queries.shape[0]
@@ -307,7 +350,8 @@ def _vjp_bwd(temp, interpret, exp_dtype, residuals, g_out):
     gt = _pad_last(jnp.swapaxes(g_scaled, 1, 2), BQ)      # [G, C, Qp]
 
     dvals_t = pl.pallas_call(
-        functools.partial(_bwd_kernel, exp_dtype=exp_dtype),
+        functools.partial(_bwd_kernel, exp_dtype=exp_dtype,
+                          cross_impl=cross_impl),
         grid=(g, q_pad // BQ),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),

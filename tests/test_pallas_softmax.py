@@ -16,12 +16,27 @@ def make_inputs(rng, g=2, q=700, n=2500, c=4):
     return jnp.asarray(queries), jnp.asarray(db), jnp.asarray(vals)
 
 
-def test_forward_matches_reference(rng):
+@pytest.mark.parametrize("cross_impl", ["vpu", "mxu"])
+def test_forward_matches_reference(rng, cross_impl):
     queries, db, vals = make_inputs(rng)
-    got = softmax_interp_pallas(queries, db, vals, 25.0, True)
+    got = softmax_interp_pallas(queries, db, vals, 25.0, True,
+                                (0.0, 0.0, 0.0), jnp.float32, cross_impl)
     want = softmax_interp_reference(queries, db, vals, 25.0)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_vpu_cross_accurate_at_image_scale(rng):
+    """The direct-difference ('vpu') build has no q.q+d.d-2q.d cancellation:
+    at image-scale coordinates (~640 px) it must stay well under the
+    expansion's ~5e-3 f32 cancellation floor."""
+    queries, db, vals = make_inputs(rng, g=2, q=900, n=2048)
+    queries = queries * 6.4
+    db = db * 6.4
+    got = softmax_interp_pallas(queries, db, vals, 25.0, True)
+    want = softmax_interp_reference(queries, db, vals, 25.0)
+    err = float(jnp.max(jnp.abs(got - want)))
+    assert err < 3e-4, err
 
 
 def test_forward_unpadded_sizes(rng):
@@ -33,12 +48,15 @@ def test_forward_unpadded_sizes(rng):
                                atol=1e-4, rtol=1e-4)
 
 
-def test_backward_matches_reference(rng):
+@pytest.mark.parametrize("cross_impl", ["vpu", "mxu"])
+def test_backward_matches_reference(rng, cross_impl):
     queries, db, vals = make_inputs(rng, g=1, q=600, n=2100, c=3)
     w = jnp.asarray(rng.normal(size=(1, 600, 3)).astype(np.float32))
 
     def f_pallas(v):
-        return jnp.sum(softmax_interp_pallas(queries, db, v, 25.0, True) * w)
+        return jnp.sum(softmax_interp_pallas(
+            queries, db, v, 25.0, True, (0.0, 0.0, 0.0), jnp.float32,
+            cross_impl) * w)
 
     def f_ref(v):
         # Reference with stop-grad weights (the kernel's contract).
