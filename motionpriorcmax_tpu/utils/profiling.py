@@ -38,12 +38,34 @@ def _materialize(tree: Any) -> None:
         np.asarray(leaves[-1])
 
 
+def scalarize(fn: Callable) -> Callable:
+    """Wrap fn so it returns a single on-device f32 scalar (sum of all
+    output leaves).  For timing: materializing a 4-byte scalar forces
+    device completion WITHOUT paying the tunnel transfer of large outputs
+    (e.g. a [B, 20, 384, 512] upsampled-params tensor is ~100 MB at b6 —
+    transferring it once dominated a 3-iteration forward timing)."""
+    import jax.numpy as jnp
+
+    @jax.jit
+    def g(*args):
+        tot = jnp.zeros((), jnp.float32)
+        for leaf in jax.tree_util.tree_leaves(fn(*args)):
+            tot = tot + jnp.sum(jnp.asarray(leaf).astype(jnp.float32))
+        return tot
+
+    return g
+
+
 def device_timer(fn: Callable, *args, iters: int = 10,
-                 warmup: int = 2) -> Tuple[float, Any]:
+                 warmup: int = 2, scalarized: bool = False) -> Tuple[float, Any]:
     """Median-free simple timer: returns (seconds_per_call, last_result).
 
     Synchronizes via host materialization, not block_until_ready.
+    scalarized=True reduces the output to one f32 scalar on device first —
+    pure device time, no output-transfer pollution (see `scalarize`).
     """
+    if scalarized:
+        fn = scalarize(fn)
     out = None
     for _ in range(warmup):
         out = fn(*args)
