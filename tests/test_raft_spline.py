@@ -203,3 +203,34 @@ def test_window_lookup_matches_pointwise(rng):
     want = bilinear_sample_hw(img, cx[:, None] + ddx[None, :],
                               cy[:, None] + ddy[None, :])
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_window_lookup_backward_matches_pointwise(rng):
+    """_window_extract's custom VJP (gather forward, one-hot matmul
+    backward) must produce the same d img and d coords as autodiff through
+    the per-point bilinear sampler."""
+    from motionpriorcmax_tpu.models.raft_spline.corr import _window_lookup
+
+    n, h2, w2, r = 24, 10, 14, 2
+    img = jnp.asarray(rng.normal(size=(n, h2, w2)).astype(np.float32))
+    cx = jnp.asarray(rng.uniform(-1, w2, n).astype(np.float32))
+    cy = jnp.asarray(rng.uniform(-1, h2, n).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(n, (2 * r + 1) ** 2)).astype(np.float32))
+
+    def f_win(im, x, y):
+        return jnp.sum(_window_lookup(im, x, y, r) * w)
+
+    d = np.arange(-r, r + 1, dtype=np.float32)
+    ddx = np.tile(d[None, :], (2 * r + 1, 1)).reshape(-1)
+    ddy = np.tile(d[:, None], (1, 2 * r + 1)).reshape(-1)
+
+    def f_ref(im, x, y):
+        s = bilinear_sample_hw(im, x[:, None] + ddx[None, :],
+                               y[:, None] + ddy[None, :])
+        return jnp.sum(s * w)
+
+    g_win = jax.grad(f_win, argnums=(0, 1, 2))(img, cx, cy)
+    g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(img, cx, cy)
+    for a, b in zip(g_win, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
