@@ -1,0 +1,94 @@
+"""On-chip numerics regressions (see conftest for how/why to run)."""
+
+import functools
+
+import numpy as np
+import pytest
+
+
+def test_interp_vpu_accurate_on_chip_vs_f64(rng):
+    """The vpu weight build must track a float64 host reference on REAL
+    hardware at image-scale coordinates.
+
+    History: the single-pass DEFAULT mxu dot was ~0.75 max abs output error
+    on chip while interpret mode was exact (Mosaic result rounding) — this
+    is the regression test that would have caught it.  The exact-mxu
+    (precision=HIGHEST) build is NOT a valid oracle here: its
+    q.q + d.d - 2q.d expansion carries a ~5e-3 f32 cancellation floor at
+    640 px coordinates; f64 host math is the ground truth.
+    """
+    import jax.numpy as jnp
+
+    from motionpriorcmax_tpu.ops.pallas.softmax_interp import (
+        softmax_interp_pallas)
+
+    g, q, n, c = 4, 1200, 2048, 4
+    queries = rng.uniform(0, 640, (q, 2)).astype(np.float32)
+    db = rng.uniform(0, 640, (g, n, 2)).astype(np.float32)
+    vals = rng.normal(size=(g, n, c)).astype(np.float32)
+
+    got = np.asarray(softmax_interp_pallas(
+        jnp.asarray(queries), jnp.asarray(db), jnp.asarray(vals), 25.0,
+        False, (0.0, 0.0, 0.0), jnp.float32, "vpu"))
+
+    q64, d64, v64 = (a.astype(np.float64) for a in (queries, db, vals))
+    d2 = (((q64[None, :, None, :] - d64[:, None, :, :]) ** 2).sum(-1))
+    w = np.exp(-d2 / 25.0)                          # [G, Q, N]
+    want = (w @ v64) / w.sum(-1, keepdims=True)
+    err = np.abs(got - want).max()
+    # Designed noise floor: the values/weights accumulation matmul runs at
+    # DEFAULT MXU precision (bf16 operand truncation, ~0.4% relative on the
+    # normalized result — measured 8.7e-3 max on chip with N(0,1) values;
+    # module docstring).  The bug class this guards against is px-SCALE
+    # (0.75 max abs), 30x above this gate.
+    assert err < 2.5e-2, err
+
+
+@pytest.mark.slow
+def test_train_step_loss_invariant_to_interp_cross(rng):
+    """Full b2 train-step loss must agree between the exact-mxu and vpu
+    interp builds on chip (the step exercises every Pallas kernel: banded
+    vote, lut gather, interp, stencils)."""
+    import jax
+    import jax.numpy as jnp
+
+    from motionpriorcmax_tpu.data.host_ops import lut_cell_sort
+    from motionpriorcmax_tpu.losses import FocusLossConfig
+    from motionpriorcmax_tpu.training import (TrajectoryNetConfig,
+                                              create_train_state, train_step)
+
+    h, w, nbins, b, m = 480, 640, 15, 2, 1 << 18
+    cfg = TrajectoryNetConfig(image_shape=(h, w), num_bins=nbins,
+                              num_basis=1, patch_size=4,
+                              basis_type="polynomial",
+                              compute_dtype="bfloat16")
+    y = rng.uniform(0, h - 1, (b, m)); x = rng.uniform(0, w - 1, (b, m))
+    t = rng.uniform(0, 1, (b, m))
+    p = rng.integers(0, 2, (b, m)).astype(np.float32)
+    bi = np.clip((t * nbins).astype(np.int32), 0, nbins - 1)
+    events = np.stack([y, x, t, p, bi, np.ones((b, m))],
+                      -1).astype(np.float32)
+    pairs = [lut_cell_sort(e, (h, w), nbins, 4) for e in events]
+    batch = {
+        "voxel": jnp.asarray(rng.normal(size=(b, nbins, h, w))
+                             .astype(np.float32)),
+        "events": jnp.asarray(np.stack([q[0] for q in pairs])),
+        "lut_cell_ends": jnp.asarray(np.stack([q[1] for q in pairs])),
+    }
+    state0 = create_train_state(cfg, jax.random.PRNGKey(0))
+
+    losses = {}
+    for ci in ("mxu", "vpu"):
+        loss_cfg = FocusLossConfig(
+            image_shape=(h, w), num_tref=1, num_bins=nbins, num_knn=32,
+            smooth_weight=0.003, lut_superpixel_size=4,
+            focus_loss_norm="l1", dist_norm="l2", scale_iwe_by_dt=True,
+            mask_image_border=True, polarity_aware_batching=False,
+            interpolation_scheme="mean", knn_block_size=512,
+            knn_method="softmax", interp_cross=ci)
+        step = jax.jit(functools.partial(train_step, cfg=cfg,
+                                         loss_cfg=loss_cfg))
+        _, logs = step(jax.tree.map(jnp.copy, state0), batch,
+                       jax.random.PRNGKey(1))
+        losses[ci] = float(logs["train_losses/total"])
+    assert abs(losses["vpu"] - losses["mxu"]) < 1e-4, losses
