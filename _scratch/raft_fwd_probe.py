@@ -27,10 +27,11 @@ def main():
         model = RAFTSpline(cfg)
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         fwd = jax.jit(lambda va, v: model.apply(va, v, test_mode=True))
-        dt, _ = device_timer(fwd, variables, voxel, iters=5, warmup=1,
-                             scalarized=True)
-        print(json.dumps({"tag": f"fwd12_b{b}_{cd}",
-                          "ms": round(dt * 1e3, 1)}), flush=True)
+        for sync in ("element", "sum"):
+            dt, _ = device_timer(fwd, variables, voxel, iters=5, warmup=1,
+                                 sync=sync)
+            print(json.dumps({"tag": f"fwd12_b{b}_{cd}_{sync}",
+                              "ms": round(dt * 1e3, 1)}), flush=True)
 
 
 if __name__ == "__main__":

@@ -55,10 +55,10 @@ def main():
 
     if not args.train_only:
         fwd = jax.jit(lambda va, v: model.apply(va, v, test_mode=True))
-        # scalarized: sync on a 4-byte scalar, not the ~100 MB/b6 upsampled
-        # params transfer over the tunnel (utils/profiling.py::scalarize).
-        dt, _ = device_timer(fwd, variables, voxel, iters=5, warmup=1,
-                             scalarized=True)
+        # Default element sync: times the production program, 4-byte host
+        # transfer — not the ~100 MB/b6 upsampled-params transfer that
+        # polluted the old 'full' sync (utils/profiling.py).
+        dt, _ = device_timer(fwd, variables, voxel, iters=5, warmup=1)
         print(json.dumps({"metric": "raft_spline_fwd_12it_evimo2_ms",
                           "value": round(dt * 1e3, 1), "batch": b}))
 

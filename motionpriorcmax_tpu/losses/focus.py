@@ -354,6 +354,10 @@ def _softmax_interpolate_flow(cfg: FocusLossConfig, grid_points: jnp.ndarray,
                      else jnp.float32)
         interpret = jax.default_backend() != "tpu"
         cross_impl = cfg.interp_cross or "vpu"
+        if cross_impl not in ("vpu", "mxu"):
+            raise ValueError(
+                f"interp_cross must be 'vpu', 'mxu' or None (auto), got "
+                f"{cfg.interp_cross!r}")
         out = softmax_interp_pallas(grid_points, db, vals, float(temp),
                                     interpret, band, exp_dtype, cross_impl)
         out = out.reshape(b, n_bins, hq, wq, c)

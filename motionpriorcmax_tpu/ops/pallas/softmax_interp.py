@@ -145,6 +145,11 @@ def _exp_weights_vpu(qy, qx, db_ref, rscale, t, exp_dtype=jnp.float32):
 
 def _make_exp_weights(q_ref, temp_ref, cross_impl, exp_dtype):
     """Hoist the query-side operands; return tile -> [BQ, BN] weight fn."""
+    if cross_impl not in ("vpu", "mxu"):
+        # A typo'd knob silently hitting the +137 ms/step HIGHEST path (or
+        # worse, a future renamed fast path) must fail loudly.
+        raise ValueError(f"cross_impl must be 'vpu' or 'mxu', got "
+                         f"{cross_impl!r}")
     scale = _LOG2E / temp_ref[0, 0]
     qt = jnp.transpose(q_ref[:, :])                  # [BQ, 2] (hoisted)
     if cross_impl == "vpu":

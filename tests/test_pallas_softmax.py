@@ -26,6 +26,13 @@ def test_forward_matches_reference(rng, cross_impl):
                                atol=1e-4, rtol=1e-4)
 
 
+def test_invalid_cross_impl_raises(rng):
+    queries, db, vals = make_inputs(rng, g=1, q=64, n=128, c=2)
+    with pytest.raises(ValueError, match="cross_impl"):
+        softmax_interp_pallas(queries, db, vals, 25.0, True,
+                              (0.0, 0.0, 0.0), jnp.float32, "auto")
+
+
 def test_vpu_cross_accurate_at_image_scale(rng):
     """The direct-difference ('vpu') build has no q.q+d.d-2q.d cancellation:
     at image-scale coordinates (~640 px) it must stay well under the
