@@ -44,7 +44,11 @@ from jax.experimental import pallas as pl
 # bf16 tiles must fit VMEM a few times over alongside the [Hp, Wp] f32
 # accumulator (~3.5 MB total at 480x640).
 BE = 1024
-KB = 8
+# Measured on chip at b8 x 1M (2026-08-20): KB=4 runs the banded sorted
+# vote fwd 33.9 ms / fwd+bwd 52.6 ms vs KB=8's 41.5 / 81.0 for identical
+# output — same Mosaic per-program serialization cliff as lut_gather.py's
+# KB (eight interleaved dual-branch sub-block bodies); KB=2 is a wash.
+KB = 4
 
 
 def _taps(coords_yx, weight, height, width):

@@ -35,7 +35,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 BE = 1024   # events per sub-block (lane dim of per-event vectors)
-KB = 8      # sub-blocks per program
+# Sub-blocks per program.  Measured on chip at b8 x 1M (2026-08-20): KB=4
+# runs 8.5 ms vs KB=8's 47.6 ms for IDENTICAL output — eight interleaved
+# dual-branch (pl.when banded/full) sub-block bodies per program hit a
+# Mosaic serialization/pressure cliff; KB=2 8.8 ms, KB=1 9.7 ms.
+KB = 4
 BAND_R = 32 # LUT rows per banded window (>= 2 * n_bins for y-major keys)
 
 
