@@ -113,11 +113,19 @@ def main():
     m_ev = 1 << 19
     t = rng.uniform(0, 1, (b, m_ev))
     bins = np.clip((t * 41).astype(np.int32), 0, 40).astype(np.float32)
-    events = jnp.asarray(np.stack([
+    events_np = np.stack([
         rng.uniform(0, h - 1, (b, m_ev)), rng.uniform(0, w - 1, (b, m_ev)),
         t, rng.integers(0, 2, (b, m_ev)).astype(np.float32), bins,
-        np.ones((b, m_ev))], -1).astype(np.float32))
-    tbatch = {"ev_repr": voxel, "events": events}
+        np.ones((b, m_ev))], -1).astype(np.float32)
+    # Cell-sort like the traj-train CLI's loader (cli/main.py): unlocks the
+    # O(M) sorted gather backward + banded vote inside the CMax loss.
+    from ..data.host_ops import lut_cell_sort
+
+    pairs = [lut_cell_sort(e, (h, w), 41, 4) for e in events_np]
+    events = jnp.asarray(np.stack([p[0] for p in pairs]))
+    cell_ends = jnp.asarray(np.stack([p[1] for p in pairs]))
+    tbatch = {"ev_repr": voxel, "events": events,
+              "lut_cell_ends": cell_ends}
     tstep = jax.jit(functools.partial(raft_train_step, cfg=cfg,
                                       loss_cfg=loss_cfg))
 

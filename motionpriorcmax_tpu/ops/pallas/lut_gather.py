@@ -64,19 +64,28 @@ def _kernel(rs_ref, fits_ref, rows_ref, cols_ref, lut_ref, out_ref, *, c,
     r_full = lut_ref.shape[1]
     wq = lut_ref.shape[2] // c
 
-    def subblock(j, rs, nrows):
-        lut = lut_ref[0, pl.ds(rs, nrows), :]                # [nrows, Wq*C]
+    def window(j, rs, accumulate):
+        """Gather contributions from LUT rows [rs, rs + band)."""
+        lut = lut_ref[0, pl.ds(rs, band), :]                 # [band, Wq*C]
         cols = _row(cols_ref, j)                             # [1, E]
         colsT = jax.lax.broadcasted_iota(jnp.int32, (wq, BE), 0)
         b_t = jnp.where(colsT == cols, 1.0, 0.0)             # [Wq, E]
         rows = _row(rows_ref, j)
-        riota = jax.lax.broadcasted_iota(jnp.int32, (nrows, BE), 0) + rs
-        a_t = jnp.where(riota == rows, 1.0, 0.0)             # [nrows, E]
+        riota = jax.lax.broadcasted_iota(jnp.int32, (band, BE), 0) + rs
+        a_t = jnp.where(riota == rows, 1.0, 0.0)             # [band, E]
         for ci in range(c):
-            slice_c = lut[:, ci * wq:(ci + 1) * wq]          # [nrows, Wq]
+            slice_c = lut[:, ci * wq:(ci + 1) * wq]          # [band, Wq]
             m2 = jnp.dot(slice_c, b_t,
-                         preferred_element_type=jnp.float32)  # [nrows, E]
-            out_ref[0, 0, j, pl.ds(ci * BE, BE)] = jnp.sum(a_t * m2, axis=0)
+                         preferred_element_type=jnp.float32)  # [band, E]
+            part = jnp.sum(a_t * m2, axis=0)
+            sl = pl.ds(ci * BE, BE)
+            if accumulate:
+                out_ref[0, 0, j, sl] = out_ref[0, 0, j, sl] + part
+            else:
+                out_ref[0, 0, j, sl] = part
+
+    # r_full is padded to a band multiple by the wrapper.
+    n_chunks = r_full // band
 
     for j in range(KB):
         rs = pl.multiple_of(rs_ref[0, 0, 0, j], 8)
@@ -84,11 +93,21 @@ def _kernel(rs_ref, fits_ref, rows_ref, cols_ref, lut_ref, out_ref, *, c,
 
         @pl.when(fits)
         def _banded(j=j, rs=rs):
-            subblock(j, rs, band)
+            window(j, rs, accumulate=False)
 
         @pl.when(jnp.logical_not(fits))
         def _full(j=j):
-            subblock(j, 0, r_full)
+            # Full-height scan as a LOOP of band-row windows: VMEM stays
+            # band-bounded for any LUT height (a single full-height window
+            # allocated [R_full, BE] temporaries — 16 MB at EVIMO2's
+            # 96 * 41 = 3936 rows — and blew the scoped-vmem limit).
+            out_ref[0, 0, j, :] = jnp.zeros_like(out_ref[0, 0, j, :])
+
+            def body(kk, _):
+                window(j, pl.multiple_of(kk * band, 8), accumulate=True)
+                return 0
+
+            jax.lax.fori_loop(0, n_chunks, body, 0)
 
 
 def _pad_round(n, mult):
@@ -125,7 +144,11 @@ def lut_gather_sorted(lut_grid: jnp.ndarray, rows_idx: jnp.ndarray,
     rows4 = rows_idx.reshape(b, nb, KB, BE)
     cols4 = cols_idx.reshape(b, nb, KB, BE)
 
-    r_pad = _pad_round(r, 8)
+    band = _pad_round(band_rows or BAND_R, 8)
+    # Pad the row dim to a BAND multiple so the kernel's full-height
+    # fallback is an exact loop of band-row windows.
+    r_pad = _pad_round(r, band)
+    band = min(band, r_pad)
     wq_pad = _pad_round(wq, 128)
     lut_pad = jnp.pad(lut_grid, ((0, 0), (0, r_pad - r), (0, wq_pad - wq),
                                  (0, 0)))
@@ -133,8 +156,6 @@ def lut_gather_sorted(lut_grid: jnp.ndarray, rows_idx: jnp.ndarray,
     # is then a contiguous static lane block inside the kernel.
     lut_flat = jnp.moveaxis(lut_pad, -1, 2).reshape(b, r_pad, c * wq_pad)
 
-    band = _pad_round(band_rows or BAND_R, 8)
-    band = min(band, r_pad)
     lo = rows4.min(-1)
     hi = rows4.max(-1)
     rs = jnp.clip((lo // 8) * 8, 0, max(r_pad - band, 0)).astype(jnp.int32)
