@@ -44,6 +44,39 @@ def test_interp_vpu_accurate_on_chip_vs_f64(rng):
     assert err < 2.5e-2, err
 
 
+def test_lut_gather_compiles_at_evimo2_scale(rng):
+    """The banded gather must compile AND be exact at 41-bin LUT heights.
+
+    History: the full-height fallback allocated [R_full, BE] VMEM
+    temporaries — 16 MB at EVIMO2's 96 * 41 = 3936 rows — and failed
+    remote compilation with a scoped-vmem OOM (latent until the RAFT
+    bench first fed cell-sorted events).  The fallback is now a
+    band-chunked loop; this pins both the compile and the math on chip,
+    including deliberately scattered (fallback-forcing) sub-blocks.
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from motionpriorcmax_tpu.ops.pallas.lut_gather import lut_gather_sorted
+
+    b, r, wq, c, m = 2, 96 * 41, 128, 2, 1 << 16
+    lut = rng.normal(size=(b, r, wq, c)).astype(np.float32)
+    # Half the stream sorted (banded path), half scattered (fallback path).
+    rows_sorted = np.sort(rng.integers(0, r, (b, m // 2)), axis=1)
+    rows_scattered = rng.integers(0, r, (b, m // 2))
+    rows = np.concatenate([rows_sorted, rows_scattered], 1).astype(np.int32)
+    cols = rng.integers(0, wq, (b, m)).astype(np.int32)
+
+    g = jax.jit(functools.partial(lut_gather_sorted, band_rows=41 * 2 + 2))
+    got = np.asarray(g(jnp.asarray(lut), jnp.asarray(rows),
+                       jnp.asarray(cols)))
+    want = np.stack([lut[i, rows[i], cols[i]] for i in range(b)])
+    # DEFAULT-precision one-hot dot: ~0.4% relative of the value scale.
+    assert np.abs(got - want).max() < 2.5e-2
+
+
 @pytest.mark.slow
 def test_train_step_loss_invariant_to_interp_cross(rng):
     """Full b2 train-step loss must agree between the exact-mxu and vpu
