@@ -135,21 +135,49 @@ def cmd_dsec_infer(args) -> int:
     from ..config import load_yaml, propagate_config
     from ..data import DsecSequence
     from ..training import TrajectoryNetConfig, predict_flow
-    from ..training.trajectory_net import TrainState
-    from ..training.checkpoint import extract_model_weights, torch_unet_to_flax
+    from ..training.trajectory_net import TrainState, create_train_state
+    from ..training.checkpoint import (extract_model_weights,
+                                       restore_checkpoint,
+                                       torch_unet_to_flax,
+                                       unflatten_model_weights)
     from ..utils import save_flow_png, scale_optical_flow
 
     config = propagate_config(load_yaml(args.config))
     cfg, _ = _flow_cfgs({**config, "loss": config.get("loss", {
         "loss_name": "FOCUS", "image_shape": config["model"]["image_shape"]})})
 
+    # Checkpoint sources, closing the train->submit loop (reference §3.1+§3.4:
+    # its own training artifact -> extract_weights -> dsec_inference,
+    # scripts/extract_weights_from_checkpoint.py:7-22 + dsec_inference.py:51-55):
+    #   * torch .pth/.ckpt  — published reference weights via the converter
+    #   * orbax dir         — this framework's flow-train output (best-metric
+    #                         retained checkpoint when metrics were recorded,
+    #                         else latest; --ckpt-step overrides)
+    #   * .npz              — `extract-weights` output, either layout
     ckpt_path = config["model"]["ckpt_path"]
+    params = stats = None
     if str(ckpt_path).endswith((".pth", ".ckpt")):
         params, stats = torch_unet_to_flax(extract_model_weights(ckpt_path))
         params = {"unet": params}
         stats = {"unet": stats}
+    elif str(ckpt_path).endswith(".npz"):
+        flat = dict(np.load(ckpt_path))
+        if all(k.split("/")[0] in ("params", "batch_stats") for k in flat):
+            params, stats = unflatten_model_weights(flat)
+        else:  # torch-key layout (extract-weights from a Lightning ckpt)
+            params, stats = torch_unet_to_flax(flat)
+            params = {"unet": params}
+            stats = {"unet": stats}
+    elif Path(str(ckpt_path)).is_dir():
+        template = create_train_state(cfg, jax.random.PRNGKey(0))
+        state, step = restore_checkpoint(
+            str(ckpt_path), template, step=args.ckpt_step, best=True)
+        print(f"restored orbax checkpoint @ step {step}")
+        params, stats = state.params, state.batch_stats
     else:
-        raise SystemExit("dsec-infer expects a .pth/.ckpt reference checkpoint")
+        raise SystemExit(
+            f"dsec-infer: {ckpt_path!r} is not a .pth/.ckpt, .npz, or an "
+            "orbax checkpoint directory")
 
     import optax
 
@@ -193,6 +221,43 @@ def cmd_dsec_infer(args) -> int:
     return 0
 
 
+def _stack_traj_batch(samples, use_boundary_images: bool):
+    """Collate provider samples into a trajectory-validation batch."""
+    import jax.numpy as jnp
+
+    batch = {
+        "ev_repr": jnp.asarray(np.stack([s["ev_repr"] for s in samples])),
+        "flow": jnp.asarray(np.stack([s["flow"] for s in samples])),
+    }
+    if "flow_valid" in samples[0]:
+        batch["flow_valid"] = jnp.asarray(
+            np.stack([s["flow_valid"] for s in samples]))
+    if use_boundary_images and "img" in samples[0]:
+        batch["img"] = [
+            jnp.asarray(np.stack([s["img"][j] for s in samples]))
+            for j in range(2)]
+    return batch
+
+
+def _run_traj_validation(val_step, state, provider, bsz: int,
+                         use_boundary_images: bool) -> dict:
+    """One full validation pass -> computed metric dict.
+
+    Metric (sum, count) states accumulate ON DEVICE (MetricBank.update_device)
+    — one host transfer for the whole bank instead of one sync per metric per
+    batch (the tunneled-TPU transfer tax)."""
+    from ..metrics import MetricBank
+
+    bank = MetricBank()
+    n = len(provider)
+    bsz = min(bsz, n)
+    for i0 in range(0, n - n % bsz, bsz):
+        samples = [provider[i] for i in range(i0, i0 + bsz)]
+        bank.update_device(
+            val_step(state, _stack_traj_batch(samples, use_boundary_images)))
+    return bank.compute()
+
+
 def cmd_traj_val(args) -> int:
     """Trajectory validation on EVIMO2 (reference scripts/trajectory_inference.py)."""
     import jax
@@ -218,7 +283,8 @@ def cmd_traj_val(args) -> int:
         ev_target_indices=tuple(mc["correlation"]["ev"]["target_indices"]),
         ev_levels=tuple(mc["correlation"]["ev"]["levels"]),
         iters=mc["num_iter"]["test"],
-        corr_dtype=mc.get("corr_dtype", "float32"))
+        corr_dtype=mc.get("corr_dtype", "float32"),
+        compute_dtype=mc.get("compute_dtype", "float32"))
 
     ds = cfg_tree["dataset"]
     dataset_name = ds.get("name", "evimo2")
@@ -247,9 +313,25 @@ def cmd_traj_val(args) -> int:
                               jax.random.PRNGKey(0))
     ckpt = cfg_tree.get("checkpoint")
     if ckpt and Path(str(ckpt)).exists():
-        from ..training.checkpoint import restore_checkpoint
+        if str(ckpt).endswith((".pth", ".ckpt")):
+            # Published reference checkpoint (Lightning RAFTSplineModule,
+            # model attr 'net' — src/modules/raft_spline.py:30): convert the
+            # canonical RAFT/E-RAFT key layout onto the flax tree, making the
+            # Tab2L5 parity run a single invocation (README 'Checkpoint
+            # parity'; reference scripts/trajectory_inference.py:65-70).
+            from ..training.checkpoint import (extract_model_weights,
+                                               torch_raft_spline_to_flax)
 
-        state, _ = restore_checkpoint(str(ckpt), state)
+            sd = extract_model_weights(str(ckpt), prefix="net.")
+            variables = torch_raft_spline_to_flax(
+                sd, {"params": state.params,
+                     "batch_stats": state.batch_stats})
+            state = state.replace(params=variables["params"],
+                                  batch_stats=variables["batch_stats"])
+        else:
+            from ..training.checkpoint import restore_checkpoint
+
+            state, _ = restore_checkpoint(str(ckpt), state)
 
     if dataset_name == "evimo2":
         ts = tuple(np.linspace(0, 1, num_steps + 1)[1:].tolist())
@@ -265,29 +347,9 @@ def cmd_traj_val(args) -> int:
         min_traj_len=vc.get("min_traj_len"),
         max_traj_len=vc.get("max_traj_len")))
 
-    bank = MetricBank()
-    bsz = cfg_tree.get("batch_size", 8)
-    n = len(provider)
-    bsz = min(bsz, n)
-    for i0 in range(0, n - n % bsz, bsz):
-        samples = [provider[i] for i in range(i0, i0 + bsz)]
-        batch = {
-            "ev_repr": jnp.asarray(np.stack([s["ev_repr"] for s in samples])),
-            "flow": jnp.asarray(np.stack([s["flow"] for s in samples])),
-        }
-        if "flow_valid" in samples[0]:
-            batch["flow_valid"] = jnp.asarray(
-                np.stack([s["flow_valid"] for s in samples]))
-        if cfg.use_boundary_images and "img" in samples[0]:
-            batch["img"] = [
-                jnp.asarray(np.stack([s["img"][j] for s in samples]))
-                for j in range(2)]
-        logs = step(state, batch)
-        vals = {k: float(v) for k, v in logs.items() if not k.endswith("__weight")}
-        wgts = {k: float(logs.get(f"{k}__weight", 1.0)) for k in vals}
-        bank.update(vals, wgts)
-
-    results = bank.compute()
+    results = _run_traj_validation(step, state, provider,
+                                   cfg_tree.get("batch_size", 8),
+                                   cfg.use_boundary_images)
     print("==========================")
     print("Validation results:")
     for key in ("val/masked_TEPE", "val/masked_TAE", "val/masked_T3PE"):
@@ -305,22 +367,43 @@ def cmd_traj_train(args) -> int:
     The reference snapshot ships no trajectory trainer (its RAFTSplineModule
     is validation-only, SURVEY.md C9); this implements the 'ours-selfsup'
     experiment composition per the experiment YAML's training/loss sections.
+
+    Data parallelism: the train step is jit-compiled over a ('data', 'event')
+    mesh exactly like cmd_flow_train (default data axis = gcd(batch,
+    n_devices)) — the route to the reference's batch-6 recipe as DP x
+    accumulate on a pod slice.  Validation + best-k selection: every
+    --val-every steps the eval split (EVIMO2 imo/eval dirs / MultiFlow test)
+    runs through raft_validation_step and the monitored metric
+    (val/masked_TEPE) drives best-k checkpoint retention — the reference's
+    ModelCheckpoint-on-val design (scripts/flow_training.py:110-116) applied
+    to the trajectory path, which shares the flow path's CMax collapse risk.
     """
+    import dataclasses
     import functools
+    import math
 
     import jax
-    import jax.numpy as jnp
 
     from ..config import compose
-    from ..data.evimo2 import Evimo2Datasubset
+    from ..data.evimo2 import Evimo2Datasubset, Evimo2Provider
     from ..data.loader import DataLoader
     from ..losses import make_loss
     from ..models.raft_spline import RAFTSplineConfig
+    from ..parallel import (make_mesh, make_sharded_train_step, replicate,
+                            shard_batch)
+    from ..parallel.distributed import initialize_distributed
     from ..training.checkpoint import save_checkpoint
-    from ..training.loop import ScalarLogger
+    from ..training.loop import ScalarLogger, _host_local_state
     from ..training.raft_spline import (RAFTTrainConfig, create_raft_state,
                                         raft_supervised_train_step,
-                                        raft_train_step)
+                                        raft_train_step,
+                                        raft_validation_step)
+
+    initialize_distributed(coordinator_address=args.coordinator,
+                           num_processes=args.num_processes,
+                           process_id=args.process_id)
+    n_proc = jax.process_count()
+    is_main = jax.process_index() == 0
 
     cfg_tree = compose(args.config_dir, args.config_name, args.overrides)
     mc = cfg_tree["model"]
@@ -340,7 +423,8 @@ def cmd_traj_train(args) -> int:
         freeze_bn=mc.get("freeze_bn", False),
         remat_iters=mc.get("remat_iters", True),
         remat_encoders=mc.get("remat_encoders", False),
-        corr_dtype=mc.get("corr_dtype", "float32"))
+        corr_dtype=mc.get("corr_dtype", "float32"),
+        compute_dtype=mc.get("compute_dtype", "float32"))
 
     lc = dict(cfg_tree["loss"])
     pab = lc.get("polarity_aware_batching", False)
@@ -415,62 +499,163 @@ def cmd_traj_train(args) -> int:
     image_hw = tuple(dataset[0]["ev_repr"].shape[-2:])
     loss_cfg = make_loss(lc.pop("type", "FOCUS"), image_shape=image_hw, **lc)
 
-    loader = DataLoader(dataset, batch_size=tcfg["batch_size"],
+    assert tcfg["batch_size"] % n_proc == 0, (tcfg["batch_size"], n_proc)
+    loader = DataLoader(dataset, batch_size=tcfg["batch_size"] // n_proc,
                         capacity=capacity, polarity_aware=pab,
                         pos_capacity=pos_capacity,
                         num_workers=cfg_tree.get("hardware", {}).get("num_workers", 8),
+                        shard=(jax.process_index(), n_proc)
+                        if n_proc > 1 else None,
                         # Cell-sorted events -> O(M) sorted segment sum in
                         # the focus-loss gather backward (host_ops).
                         lut_cell_sort_params=None if supervised else (
                             loss_cfg.image_shape, loss_cfg.num_bins,
                             loss_cfg.lut_superpixel_size))
 
-    state = create_raft_state(cfg, tc, jax.random.PRNGKey(0), image_hw)
-    if supervised:
-        step = jax.jit(functools.partial(raft_supervised_train_step, cfg=cfg))
+    # Mesh: data axis defaults to gcd(batch, n_devices), as in cmd_flow_train;
+    # the sharded step inserts the gradient psum (the NCCL all-reduce analog).
+    if args.mesh:
+        mesh = make_mesh(data=args.mesh[0], event=args.mesh[1])
     else:
-        step = jax.jit(functools.partial(
+        mesh = make_mesh(data=math.gcd(tcfg["batch_size"], len(jax.devices())),
+                         event=1)
+
+    state = create_raft_state(cfg, tc, jax.random.PRNGKey(0), image_hw)
+    state = replicate(mesh, state)
+    if supervised:
+        step = make_sharded_train_step(
+            functools.partial(raft_supervised_train_step, cfg=cfg), mesh)
+    else:
+        step = make_sharded_train_step(functools.partial(
             raft_train_step, cfg=cfg, loss_cfg=loss_cfg,
-            num_pos_events=pos_capacity if pab else -1))
+            num_pos_events=pos_capacity if pab else -1,
+            # `training.gamma=0.8` scores every GRU iteration with the
+            # RAFT-lineage exponential weights; default supervises the
+            # final iteration only (the measured bench operating point).
+            gamma=tcfg.get("gamma")), mesh)
+
+    # Validation + best-k model selection (reference ModelCheckpoint-on-val,
+    # scripts/flow_training.py:110-116): the eval split runs through
+    # raft_validation_step (test-mode iters) every --val-every steps and
+    # `val/masked_TEPE` drives best-k checkpoint retention.
+    val_provider = val_step_fn = None
+    val_monitor = "val/masked_TEPE"
+    if args.val_every > 0:
+        if ds.get("name") == "multiflow":
+            test_dir = _P(ds["path"]) / "test"
+            if test_dir.is_dir():
+                from ..data.multiflow import MultiflowDatasubset as _MFD
+
+                val_provider = _MFD(
+                    test_dir, num_bins_context=cfg.nbins_context,
+                    flow_every_n_ms=ds["flow_every_n_ms"],
+                    load_voxel_grid=ds.get("load_voxel_grid", True),
+                    extended_voxel_grid=ds.get("extended_voxel_grid", True),
+                    normalize_voxel_grid=ds.get("normalize_voxel_grid", True),
+                    prediction_time_ms=ds.get("prediction_time", 500))
+                val_ts = tuple(float(t)
+                               for t in val_provider[0]["flow_timestamps"])
+        elif (_P(ds["path"]) / "imo" / "eval").is_dir():
+            val_provider = Evimo2Provider(
+                ds["path"], nbins_context=cfg.nbins_context,
+                flow_time_ms=ds["flow_time"],
+                normalize_voxel_grid=ds["normalize_voxel_grid"],
+                flow_every_n_ms=ds["flow_every_n_ms"])
+            m = int(ds["flow_time"] // ds["flow_every_n_ms"])
+            val_ts = tuple(np.linspace(0, 1, m + 1)[1:].tolist())
+    if val_provider is not None:
+        vc = cfg_tree.get("validation", {}) or {}
+        val_cfg = dataclasses.replace(cfg, iters=mc["num_iter"]["test"])
+        val_step_fn = jax.jit(functools.partial(
+            raft_validation_step, cfg=val_cfg, flow_timestamps=val_ts,
+            min_traj_len=vc.get("min_traj_len"),
+            max_traj_len=vc.get("max_traj_len")))
 
     workdir = args.workdir or f"runs/traj_{datetime.now():%Y%m%d_%H%M%S}"
-    logger = ScalarLogger(workdir)
+    logger = ScalarLogger(workdir) if is_main else None
     key = jax.random.PRNGKey(1)
     n_steps = 0
+    best = float("inf")
+
+    def run_validation():
+        nonlocal best
+        # Under multi-host every process evaluates the full (deterministic)
+        # val split with a host-local state copy, so the monitored metric is
+        # identical across processes and the collective orbax save sees one
+        # consistent value.
+        eval_state = _host_local_state(state) if n_proc > 1 else state
+        val = _run_traj_validation(val_step_fn, eval_state, val_provider,
+                                   args.val_batch_size,
+                                   cfg.use_boundary_images)
+        if is_main:
+            logger.log(n_steps, val)
+        metric = val.get(val_monitor, val.get("val/epe"))
+        save_checkpoint(str(Path(workdir) / "checkpoints"), state,
+                        step=n_steps, metric=metric)
+        if metric is not None and metric < best:
+            best = metric
+            if is_main:
+                logger.log(n_steps,
+                           {f"{k}_at_best": v for k, v in val.items()})
+
     while n_steps < args.max_steps:
         for batch in loader:
             key, sub = jax.random.split(key)
             if supervised:
-                dev_batch = {k: jnp.asarray(batch[k])
+                dev_batch = {k: batch[k]
                              for k in ("ev_repr", "flow", "flow_timestamps")}
                 if "flow_valid" in batch:
-                    dev_batch["flow_valid"] = jnp.asarray(batch["flow_valid"])
+                    dev_batch["flow_valid"] = batch["flow_valid"]
             else:
-                dev_batch = {"ev_repr": jnp.asarray(batch["ev_repr"]),
-                             "events": jnp.asarray(batch["events"])}
+                dev_batch = {"ev_repr": batch["ev_repr"],
+                             "events": batch["events"]}
                 if "lut_cell_ends" in batch:
-                    dev_batch["lut_cell_ends"] = jnp.asarray(
-                        batch["lut_cell_ends"])
+                    dev_batch["lut_cell_ends"] = batch["lut_cell_ends"]
+            if n_proc > 1:
+                from ..parallel.distributed import host_local_batch_to_global
+
+                dev_batch = host_local_batch_to_global(mesh, dev_batch)
+            else:
+                dev_batch = shard_batch(mesh, dev_batch)
             state, logs = step(state, dev_batch, sub)
             n_steps += 1
-            if n_steps % args.log_every == 0:
+            if n_steps % args.log_every == 0 and is_main:
                 logger.log(n_steps, {k: float(v) for k, v in logs.items()})
-            if n_steps % args.ckpt_every == 0 or n_steps >= args.max_steps:
+            if val_step_fn is not None:
+                # Validation saves carry the monitored metric; periodic
+                # metric-less saves would corrupt best-k retention, so
+                # --ckpt-every is superseded when a val split exists.
+                if n_steps % args.val_every == 0 or n_steps >= args.max_steps:
+                    run_validation()
+            elif n_steps % args.ckpt_every == 0 or n_steps >= args.max_steps:
                 save_checkpoint(str(Path(workdir) / "checkpoints"), state,
                                 step=n_steps)
             if n_steps >= args.max_steps:
                 break
-    logger.close()
-    print(f"done: {n_steps} steps -> {workdir}")
+    if is_main:
+        logger.close()
+        print(f"done: {n_steps} steps -> {workdir}")
     return 0
 
 
 def cmd_extract_weights(args) -> int:
-    """Lightning ckpt -> bare weights npz (reference
-    scripts/extract_weights_from_checkpoint.py)."""
-    from ..training.checkpoint import extract_model_weights
+    """Checkpoint -> bare weights npz (reference
+    scripts/extract_weights_from_checkpoint.py strips the Lightning ckpt's
+    'model.' prefix; this additionally accepts the framework's own orbax
+    checkpoint dirs, flattening params + batch_stats to 'params/...' /
+    'batch_stats/...' keys consumable by dsec-infer)."""
+    from ..training.checkpoint import (extract_model_weights,
+                                       flatten_model_weights,
+                                       restore_raw_checkpoint)
 
-    weights = extract_model_weights(args.ckpt)
+    if Path(args.ckpt).is_dir():  # orbax checkpoint dir
+        tree, step = restore_raw_checkpoint(args.ckpt, best=True)
+        weights = {**flatten_model_weights(tree["params"], "params"),
+                   **flatten_model_weights(tree.get("batch_stats") or {},
+                                           "batch_stats")}
+        print(f"extracted orbax step {step}")
+    else:
+        weights = extract_model_weights(args.ckpt)
     np.savez(args.out, **weights)
     print(f"wrote {len(weights)} arrays -> {args.out}")
     return 0
@@ -532,6 +717,9 @@ def main(argv=None) -> int:
     p = sub.add_parser("dsec-infer", help="DSEC benchmark PNG inference")
     p.add_argument("--config", required=True)
     p.add_argument("--timestamp-dir", default="config/misc/dsec_test_timestamps")
+    p.add_argument("--ckpt-step", type=int, default=None,
+                   help="orbax step to restore (default: best-metric "
+                        "retained checkpoint, else latest)")
     p.set_defaults(fn=cmd_dsec_infer)
 
     p = sub.add_parser("traj-val", help="EVIMO2 trajectory validation")
@@ -553,6 +741,18 @@ def main(argv=None) -> int:
                    help="selfsup = CMax focus loss on raw events (EVIMO2 or "
                         "MultiFlow); supervised = gamma-weighted L1 against "
                         "GT multi-step flow (MultiFlow only)")
+    p.add_argument("--val-every", type=int, default=1000,
+                   help="run validation + best-k selection every N steps "
+                        "(0 disables; needs an eval split on disk)")
+    p.add_argument("--val-batch-size", type=int, default=4)
+    p.add_argument("--mesh", default=None, type=_parse_mesh,
+                   help="data,event mesh axis sizes (default: "
+                        "gcd(batch, n_devices),1)")
+    p.add_argument("--coordinator", default=None,
+                   help="multi-host coordinator host:port "
+                        "(jax.distributed; run this command on every host)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     p.add_argument("overrides", nargs="*")
     p.set_defaults(fn=cmd_traj_train)
 

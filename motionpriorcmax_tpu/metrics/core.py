@@ -213,12 +213,33 @@ class MetricBank:
             self.state[key] = (s + np.float64(val) * np.float64(w),
                                c + np.float64(w))
 
+    def update_device(self, logs: Dict[str, jnp.ndarray]):
+        """Accumulate a step's raw output dict (metric values + optional
+        '<key>__weight' entries) ON DEVICE: one jitted (sum, count) pytree
+        update per batch, no host transfer until compute().  Replaces the
+        per-batch-per-metric float(v) round-trips (one device sync each on a
+        tunneled TPU) in the validation loops."""
+        vals = {k: v for k, v in logs.items() if not k.endswith("__weight")}
+        wgts = {k: logs.get(f"{k}__weight", 1.0) for k in vals}
+        if not self.state:
+            self.state = {k: (jnp.zeros((), jnp.float64
+                                        if jax.config.jax_enable_x64
+                                        else jnp.float32),) * 2 for k in vals}
+        self.state = self._accumulate(self.state, vals, wgts)
+
     def compute(self) -> Dict[str, float]:
+        state = jax.device_get(self.state)  # single transfer for the bank
         return {k: float(s / c) if c > 0 else float("nan")
-                for k, (s, c) in self.state.items()}
+                for k, (s, c) in state.items()}
 
     def reset(self):
         self.state = {}
+
+    @staticmethod
+    @jax.jit
+    def _accumulate(state, vals, wgts):
+        return {k: (state[k][0] + vals[k] * wgts[k], state[k][1] + wgts[k])
+                for k in vals}
 
     @staticmethod
     def reduce_across(state_tree, axis_name: str):
@@ -240,7 +261,8 @@ class MetricBank:
         from jax.experimental import multihost_utils
 
         keys = sorted(self.state)
-        local = np.array([[float(self.state[k][0]), float(self.state[k][1])]
+        state = jax.device_get(self.state)
+        local = np.array([[float(state[k][0]), float(state[k][1])]
                           for k in keys], np.float64)
         if not keys:
             local = np.zeros((0, 2), np.float64)

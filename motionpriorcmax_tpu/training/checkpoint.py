@@ -48,18 +48,74 @@ def save_checkpoint(ckpt_dir: str, state, step: int, keep: int = 5,
         mgr.wait_until_finished()
 
 
-def restore_checkpoint(ckpt_dir: str, state, step: Optional[int] = None):
-    """Restore into the structure of `state` (a TrainState template)."""
+def restore_checkpoint(ckpt_dir: str, state, step: Optional[int] = None,
+                       best: bool = False, mode: str = "min"):
+    """Restore into the structure of `state` (a TrainState template).
+
+    With `best=True`, restore the best-metric retained checkpoint (written by
+    save_checkpoint(metric=...)) instead of the latest — the inference analog
+    of the reference loading its ModelCheckpoint best artifact
+    (scripts/extract_weights_from_checkpoint.py feeds dsec_inference.py:51-55).
+    """
     import orbax.checkpoint as ocp
 
     path = Path(ckpt_dir).absolute()
-    with ocp.CheckpointManager(path) as mgr:
+    options = None
+    if best:
+        options = ocp.CheckpointManagerOptions(
+            best_fn=lambda m: m["metric"], best_mode=mode)
+    with ocp.CheckpointManager(path, options=options) as mgr:
         if step is None:
-            step = mgr.latest_step()
+            step = (mgr.best_step() if best else None) or mgr.latest_step()
         assert step is not None, f"no checkpoints under {path}"
         restored = mgr.restore(
             step, args=ocp.args.StandardRestore(_to_pytree(state)))
     return state.replace(**restored), step
+
+
+def restore_raw_checkpoint(ckpt_dir: str, step: Optional[int] = None,
+                           best: bool = False, mode: str = "min"):
+    """Restore a checkpoint WITHOUT a template — returns the raw saved
+    pytree (nested dicts of numpy arrays: params / opt_state / batch_stats /
+    step).  Used by `extract-weights` on the framework's own orbax artifacts
+    (reference analog: scripts/extract_weights_from_checkpoint.py:7-22)."""
+    import orbax.checkpoint as ocp
+
+    path = Path(ckpt_dir).absolute()
+    options = None
+    if best:
+        options = ocp.CheckpointManagerOptions(
+            best_fn=lambda m: m["metric"], best_mode=mode)
+    with ocp.CheckpointManager(path, options=options) as mgr:
+        if step is None:
+            step = (mgr.best_step() if best else None) or mgr.latest_step()
+        assert step is not None, f"no checkpoints under {path}"
+        return mgr.restore(step), step
+
+
+def flatten_model_weights(tree: Dict[str, Any], prefix: str) -> Dict[str, np.ndarray]:
+    """Nested param/stat dict -> {'prefix/a/b': array} flat npz-friendly keys."""
+    import jax
+
+    flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+    return {prefix + "/" + "/".join(k.key for k in keypath): np.asarray(v)
+            for keypath, v in flat}
+
+
+def unflatten_model_weights(flat: Dict[str, np.ndarray]
+                            ) -> Tuple[Dict, Dict]:
+    """Inverse of flatten_model_weights over the 'params'/'batch_stats'
+    prefixes -> (params, batch_stats) nested trees."""
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    for key, value in flat.items():
+        parts = key.split("/")
+        tree = {"params": params, "batch_stats": stats}[parts[0]]
+        node = tree
+        for p in parts[1:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = value
+    return params, stats
 
 
 def _to_pytree(state) -> Dict[str, Any]:

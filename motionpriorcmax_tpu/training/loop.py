@@ -227,8 +227,8 @@ def train_flow(
                     vb["gt_flow"] = vb.pop("forward_flow")
                 npos = vb.pop("num_pos_events", num_pos_events)
                 vb = vb if multiprocess else shard_batch(mesh, vb)
-                logs = eval_for(npos)(eval_state, vb, sub)
-                bank.update({k: float(v) for k, v in logs.items()})
+                # Accumulate on device; one transfer per epoch at compute().
+                bank.update_device(eval_for(npos)(eval_state, vb, sub))
             bank = bank.reduce_across_processes()
             val = bank.compute()
             if is_main:
