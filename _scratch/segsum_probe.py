@@ -26,6 +26,11 @@ def main():
     pairs = [lut_cell_sort(e, (h, w), nbins, s) for e in ev]
     evj = np.stack([q[0] for q in pairs])
     ends = jax.device_put(np.stack([q[1] for q in pairs]))   # [B, cells]
+    # NOTE: rows is bin-major (bin*hq + yq) while lut_cell_sort orders events
+    # by the y-major key (yq*nbins + bin)*wq + xq (data/host_ops.py), so the
+    # flat_idx fed to _segment_sum_sorted below is NOT ascending.  Harmless
+    # for TIMING only because flat_idx is dead when cell_ends is supplied —
+    # do not reuse this probe for correctness checks of cell labels.
     rows = jax.device_put(
         (evj[..., 4].astype(np.int32) * hq
          + np.clip(evj[..., 0], 0, h - 1).astype(np.int32) // s))

@@ -17,20 +17,22 @@ Architecture (RAFT BasicEncoder): conv7x7/2 -> 2 res blocks @64 -> 2 @96 /2
 
 from __future__ import annotations
 
-from typing import Sequence, Union
+from typing import Any, Sequence, Union
 
 import jax.numpy as jnp
 from flax import linen as nn
 
 
-def _norm(norm_fn: str, use_running_average: bool):
+def _norm(norm_fn: str, use_running_average: bool, dtype=jnp.float32):
+    # Like the UNet (models/unet.py): norms run in the compute dtype; flax
+    # computes the statistics in f32 internally either way.
     if norm_fn == "instance":
         # InstanceNorm == GroupNorm with one channel per group; non-affine.
         return nn.GroupNorm(num_groups=None, group_size=1, use_bias=False,
-                            use_scale=False, epsilon=1e-5)
+                            use_scale=False, epsilon=1e-5, dtype=dtype)
     if norm_fn == "batch":
         return nn.BatchNorm(use_running_average=use_running_average,
-                            momentum=0.9, epsilon=1e-5)
+                            momentum=0.9, epsilon=1e-5, dtype=dtype)
     if norm_fn == "none":
         return lambda x: x
     raise ValueError(f"unknown norm_fn {norm_fn!r}")
@@ -40,25 +42,32 @@ class ResidualBlock(nn.Module):
     planes: int
     norm_fn: str
     stride: int = 1
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, use_running_average: bool = True):
         ura = use_running_average
-        y = nn.Conv(self.planes, (3, 3), strides=self.stride, padding=1)(x)
-        y = _norm(self.norm_fn, ura)(y)
-        y = nn.relu(y)
-        y = nn.Conv(self.planes, (3, 3), padding=1)(y)
-        y = _norm(self.norm_fn, ura)(y)
-        y = nn.relu(y)
+        dt = self.dtype
+        y = nn.Conv(self.planes, (3, 3), strides=self.stride, padding=1,
+                    dtype=dt)(x)
+        y = _norm(self.norm_fn, ura, dt)(y)
+        y = nn.relu(y).astype(dt)
+        y = nn.Conv(self.planes, (3, 3), padding=1, dtype=dt)(y)
+        y = _norm(self.norm_fn, ura, dt)(y)
+        y = nn.relu(y).astype(dt)
         if self.stride != 1 or x.shape[-1] != self.planes:
-            x = nn.Conv(self.planes, (1, 1), strides=self.stride)(x)
-            x = _norm(self.norm_fn, ura)(x)
-        return nn.relu(x + y)
+            x = nn.Conv(self.planes, (1, 1), strides=self.stride, dtype=dt)(x)
+            x = _norm(self.norm_fn, ura, dt)(x)
+        return nn.relu(x.astype(dt) + y)
 
 
 class BasicEncoder(nn.Module):
     output_dim: int = 256
     norm_fn: str = "instance"
+    # bf16 convs on the MXU (f32 params / f32 norm statistics), the UNet's
+    # measured production pattern; the final 1x1 stays in the compute dtype
+    # and callers cast fmaps back to f32 for the corr volumes (raft.py).
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, inputs: Union[jnp.ndarray, Sequence[jnp.ndarray]],
@@ -77,14 +86,15 @@ class BasicEncoder(nn.Module):
 
         x = jnp.transpose(x, (0, 2, 3, 1))  # NCHW -> NHWC
         ura = not train
+        dt = self.dtype
 
-        x = nn.Conv(64, (7, 7), strides=2, padding=3)(x)
-        x = _norm(self.norm_fn, ura)(x)
-        x = nn.relu(x)
+        x = nn.Conv(64, (7, 7), strides=2, padding=3, dtype=dt)(x.astype(dt))
+        x = _norm(self.norm_fn, ura, dt)(x)
+        x = nn.relu(x).astype(dt)
         for planes, stride in ((64, 1), (96, 2), (128, 2)):
-            x = ResidualBlock(planes, self.norm_fn, stride)(x, ura)
-            x = ResidualBlock(planes, self.norm_fn, 1)(x, ura)
-        x = nn.Conv(self.output_dim, (1, 1))(x)
+            x = ResidualBlock(planes, self.norm_fn, stride, dt)(x, ura)
+            x = ResidualBlock(planes, self.norm_fn, 1, dt)(x, ura)
+        x = nn.Conv(self.output_dim, (1, 1), dtype=dt)(x)
 
         x = jnp.transpose(x, (0, 3, 1, 2))  # NHWC -> NCHW
         if is_list:

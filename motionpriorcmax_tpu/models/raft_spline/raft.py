@@ -74,6 +74,12 @@ class RAFTSplineConfig:
     # training-memory objects ([T, B, h1*w1, h2, w2]) — halving them.  The
     # looked-up features are cast back to f32 before the update block.
     corr_dtype: str = "float32"
+    # Conv compute dtype for the encoders + update block ('float32' |
+    # 'bfloat16'): bf16 runs the conv stacks on the MXU at 4x the v5e f32
+    # rate with f32 params; the GRU carry, curve-params accumulation, delta
+    # and mask head outputs stay f32 (update.py docstring).  f32 default for
+    # reference parity.
+    compute_dtype: str = "float32"
 
     def __post_init__(self):
         assert self.use_events or self.use_boundary_images
@@ -103,20 +109,22 @@ class RAFTSpline(nn.Module):
         # control flow (norm selection) and must stay a trace-time constant.
         enc = (nn.remat(BasicEncoder, static_argnums=(2,), prevent_cse=False)
                if cfg.remat_encoders else BasicEncoder)
+        cdt = jnp.dtype(cfg.compute_dtype)
         context_in = 0
         if cfg.use_events:
             self.fnet_ev = enc(output_dim=cfg.feature_dim,
-                               norm_fn=cfg.feature_norm)
+                               norm_fn=cfg.feature_norm, dtype=cdt)
             context_in += cfg.nbins_context
         if cfg.use_boundary_images:
             self.fnet_img = enc(output_dim=cfg.feature_dim,
-                                norm_fn=cfg.feature_norm)
+                                norm_fn=cfg.feature_norm, dtype=cdt)
             context_in += 3
         self.cnet = enc(output_dim=cfg.hidden_dim + cfg.context_dim,
-                        norm_fn=cfg.context_norm)
+                        norm_fn=cfg.context_norm, dtype=cdt)
         self.update_block = BasicUpdateBlock(param_dim=cfg.param_dim,
                                              hidden_dim=cfg.hidden_dim,
-                                             motion_dim=cfg.motion_dim)
+                                             motion_dim=cfg.motion_dim,
+                                             dtype=cdt)
         if cfg.curve_type == "LEARNED":
             # 3-layer ReLU MLP (src/modules/raft_spline.py:29-35).
             self.basis_mlp = BasisMLP(cfg.bezier_degree, depth=2,
@@ -181,7 +189,9 @@ class RAFTSpline(nn.Module):
         corr = corr.astype(jnp.dtype(cfg.corr_dtype))
         pyramid = build_corr_pyramid(corr, levels_all)
 
-        cnet = self.cnet(context_input, train and not cfg.freeze_bn)
+        cnet = self.cnet(context_input,
+                         train and not cfg.freeze_bn).astype(jnp.float32)
+        # f32: `net` is the scan carry (the GRU returns it in f32).
         net = jnp.tanh(cnet[:, :cfg.hidden_dim])
         inp = jax.nn.relu(cnet[:, cfg.hidden_dim:])
 

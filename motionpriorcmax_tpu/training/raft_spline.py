@@ -277,26 +277,28 @@ def raft_supervised_train_step(
 def raft_train_step(state: RAFTTrainState, batch: Dict[str, jnp.ndarray],
                     rng: jax.Array, cfg: RAFTSplineConfig,
                     loss_cfg: FocusLossConfig, num_pos_events: int = -1,
+                    gamma: float | None = None,
                     ) -> Tuple[RAFTTrainState, Dict[str, jnp.ndarray]]:
-    """Self-supervised trajectory training: CMax loss on every iteration's
-    upsampled curve prediction (the 'ours-selfsup' experiment; the snapshot
-    ships no reference training_step — composition per SURVEY.md §7.2-5)."""
+    """Self-supervised trajectory training: CMax loss on the predicted curve
+    (the 'ours-selfsup' experiment; the snapshot ships no reference
+    training_step — composition per SURVEY.md §7.2-5).
+
+    gamma=None supervises only the FINAL iteration's upsampled curve.
+    gamma=g scores EVERY refinement iteration, weighted g^(iters-1-i) — the
+    RAFT-lineage exponentially-weighted sequence loss (raft.py:191-193
+    returns all iterations for exactly this).  Memory design mirrors the
+    supervised step: low-res per-iteration params (return_sequences=True),
+    each iteration upsampled + scored inside a jax.checkpoint'ed lax.map
+    body, so no [iters, B, C, H, W] full-res stack is ever live (the stacked
+    variant's backward materialized a 9 GB padded temp at batch 6)."""
     h, w = loss_cfg.image_shape
     offsets = jnp.asarray(
         tile_mask_positions((h, w), loss_cfg.lut_superpixel_size)
         .astype(np.float32))                                   # [N, 2] (y, x)
     times = get_reconstruction_times(loss_cfg, rng)
 
-    def loss_fn(params):
-        # Supervise the final prediction (sum over iterations would mirror
-        # RAFT's gamma-weighted loss).  test_mode=True upsamples ONLY the
-        # last iteration: the train-mode all-iterations return stacks
-        # [iters, B, 2*deg, H, W] at full resolution, and the backward of
-        # "take the last" materializes a zero-padded copy of that whole
-        # stack — a measured 9 GB HLO temp at batch 6 / EVIMO2 scale.
-        (_, params_up), new_bs = _forward(cfg, params, state.batch_stats,
-                                          batch["ev_repr"], batch.get("img"),
-                                          test_mode=True, train=True)
+    def curve_focus_loss(params_up):
+        """CMax loss of one full-res upsampled curve-param grid."""
         s = loss_cfg.lut_superpixel_size
         off = s // 2
         sel = params_up[:, :, off::s, off::s]              # [B, 2*deg, Hn, Wn]
@@ -307,10 +309,37 @@ def raft_train_step(state: RAFTTrainState, batch: Dict[str, jnp.ndarray],
         flows_yx = jnp.stack([flows[:, :, 1], flows[:, :, 0]], axis=2)
         flows_list = flows_yx.reshape(t_, b, 2, -1)        # [T, B, 2, N]
         traj = offsets[None, None] + jnp.transpose(flows_list, (1, 0, 3, 2))
-        loss, log_data, _ = focus_loss(loss_cfg, traj, times, batch["events"],
-                                       num_pos_events=num_pos_events,
-                                       cell_ends=batch.get("lut_cell_ends"))
-        logs = {f"train_losses/{k}": v for k, v in log_data.items()}
+        return focus_loss(loss_cfg, traj, times, batch["events"],
+                          num_pos_events=num_pos_events,
+                          cell_ends=batch.get("lut_cell_ends"))
+
+    def loss_fn(params):
+        if gamma is None:
+            # Final-iteration supervision: test_mode=True upsamples ONLY the
+            # last iteration (cheapest path; the measured bench operating
+            # point).
+            (_, params_up), new_bs = _forward(
+                cfg, params, state.batch_stats, batch["ev_repr"],
+                batch.get("img"), test_mode=True, train=True)
+            loss, log_data, _ = curve_focus_loss(params_up)
+            logs = {f"train_losses/{k}": v for k, v in log_data.items()}
+            return loss, (logs, new_bs)
+
+        (params_seq, mask_seq), new_bs = _forward(
+            cfg, params, state.batch_stats, batch["ev_repr"],
+            batch.get("img"), test_mode=False, train=True,
+            return_sequences=True)
+
+        @jax.checkpoint
+        def iter_loss(pm):
+            p, m = pm
+            return curve_focus_loss(cvx_upsample(p, m))[0]
+
+        losses = jax.lax.map(iter_loss, (params_seq, mask_seq))   # [iters]
+        n = losses.shape[0]
+        weights = gamma ** jnp.arange(n - 1, -1, -1, dtype=losses.dtype)
+        loss = jnp.sum(weights * losses)
+        logs = {"train_losses/focus_final": losses[-1]}
         return loss, (logs, new_bs)
 
     (loss, (logs, new_bs)), grads = jax.value_and_grad(

@@ -104,6 +104,68 @@ def test_raft_supervised_train_step_overfits_batch(rng):
     assert "train_losses/l1_final" in logs
 
 
+def test_raft_bf16_compute_close_to_f32(rng):
+    """compute_dtype='bfloat16' (MXU conv path, f32 params/carry/heads):
+    the forward stays finite and tracks the f32 forward — same params, same
+    input, upsampled curve predictions within bf16 tolerance."""
+    cfg32 = tiny_cfg()
+    cfg16 = tiny_cfg(compute_dtype="bfloat16")
+    tc = RAFTTrainConfig(use_scheduler=False)
+    state = create_raft_state(cfg32, tc, jax.random.PRNGKey(0), (H, W))
+    voxel = jnp.asarray(rng.normal(size=(1, cfg32.nbins_total, H, W))
+                        .astype(np.float32))
+
+    from motionpriorcmax_tpu.models.raft_spline import RAFTSpline
+
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    # Identical param trees: the dtype knob must not change the module tree.
+    _, up32 = RAFTSpline(cfg32).apply(variables, voxel, test_mode=True)
+    _, up16 = RAFTSpline(cfg16).apply(variables, voxel, test_mode=True)
+    assert up16.dtype == jnp.float32        # heads return f32
+    assert np.isfinite(np.asarray(up16)).all()
+    scale = np.abs(np.asarray(up32)).max() + 1e-3
+    np.testing.assert_allclose(np.asarray(up16) / scale,
+                               np.asarray(up32) / scale, atol=0.1)
+
+
+def test_raft_train_step_gamma_weighted(rng):
+    """gamma-weighted self-sup loss (RAFT-lineage all-iteration supervision):
+    the path is live — finite loss, params move, and the update DIFFERS from
+    the final-only default (the intermediate iterations' gradients flow)."""
+    cfg = tiny_cfg()
+    tc = RAFTTrainConfig(use_scheduler=False, learning_rate=1e-3)
+    state = create_raft_state(cfg, tc, jax.random.PRNGKey(0), (H, W))
+    loss_cfg = FocusLossConfig(
+        image_shape=(H, W), num_tref=1, num_bins=5, num_knn=4,
+        smooth_weight=0.01, lut_superpixel_size=4, focus_loss_norm="l1",
+        polarity_aware_batching=False, interpolation_scheme="mean",
+        knn_block_size=64)
+    m_ev = 256
+    y = rng.uniform(0, H - 1, (1, m_ev)); x = rng.uniform(0, W - 1, (1, m_ev))
+    t = rng.uniform(0, 1, (1, m_ev))
+    p = rng.integers(0, 2, (1, m_ev)).astype(np.float32)
+    b = np.clip((t * 5).astype(np.int32), 0, 4)
+    events = np.stack([y, x, t, p, b, np.ones((1, m_ev))], -1).astype(np.float32)
+    batch = {
+        "ev_repr": jnp.asarray(rng.normal(size=(1, cfg.nbins_total, H, W))
+                               .astype(np.float32)),
+        "events": jnp.asarray(events),
+    }
+    step_final = jax.jit(functools.partial(raft_train_step, cfg=cfg,
+                                           loss_cfg=loss_cfg))
+    step_gamma = jax.jit(functools.partial(raft_train_step, cfg=cfg,
+                                           loss_cfg=loss_cfg, gamma=0.8))
+    sf, logs_f = step_final(state, batch, jax.random.PRNGKey(1))
+    sg, logs_g = step_gamma(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(logs_g["train_losses/total"]))
+    assert np.isfinite(float(logs_g["train_losses/focus_final"]))
+    pf = jax.tree_util.tree_leaves(sf.params)[0]
+    pg = jax.tree_util.tree_leaves(sg.params)[0]
+    p0 = jax.tree_util.tree_leaves(state.params)[0]
+    assert not np.allclose(np.asarray(p0), np.asarray(pg))
+    assert not np.allclose(np.asarray(pf), np.asarray(pg))
+
+
 def test_raft_train_gradient_accumulation(rng):
     """accumulate_steps=2: params frozen after the 1st microbatch, updated
     with the averaged gradient after the 2nd (single-chip effective batch
