@@ -142,8 +142,13 @@ class FocusLossConfig:
     # <= strip + 2*max displacement rows (DSEC caps at 60 px -> 128 + slack).
     # Exact: a sub-block whose extent exceeds the band runs a full-height
     # pl.when branch inside the kernel (ops/pallas/iwe_vote.py).  0 disables;
-    # None = auto (144 on the TPU backend — measured 406 -> 370 ms per
-    # b8 x 1M train step vs the full-height vote; grad 46 vs 72 ms).
+    # None = auto (96 on the TPU backend; round-4 KB=4 re-tune, fwd+bwd
+    # standalone b8 x 1M: 64 -> 44.9 ms | 80 -> 46.6 | 96 -> 46.2 |
+    # 112 -> 47.7 | 128 -> 49.7 | 144 -> 52.6, grads bit-identical at every
+    # band.  96 keeps ~|flow_y| <= 45 px on the fast path (strip + 2*disp);
+    # 64 is marginally faster but falls back to full-height sub-blocks
+    # beyond ~30 px displacement.  Round-2 history: 144 measured 406 -> 370
+    # ms vs the full-height vote, grad 46 vs 72 ms).
     vote_band_px: Optional[int] = None
     # Forward LUT-gather implementation when events are cell-sorted:
     # 'xla' (plain gather, ~66 ms at b8) or 'pallas' (banded one-hot
@@ -520,7 +525,7 @@ def make_iwes(cfg: FocusLossConfig, warped: jnp.ndarray, t_ref: jnp.ndarray,
 
     vote_band = cfg.vote_band_px
     if vote_band is None:
-        vote_band = 144 if jax.default_backend() == "tpu" else 0
+        vote_band = 96 if jax.default_backend() == "tpu" else 0
 
     def vote(c, wgt):
         if impl == "pallas" and cell_sorted and vote_band > 0:

@@ -49,6 +49,13 @@ BE = 1024
 # output — same Mosaic per-program serialization cliff as lut_gather.py's
 # KB (eight interleaved dual-branch sub-block bodies); KB=2 is a wash.
 KB = 4
+# Fuse the banded backward's two per-sub-block contractions (da_t = G @ B^T
+# and m_t = G @ D) into ONE MXU pass over a lane-concatenated [Wp, 2*BE]
+# RHS.  Measured on chip 2026-08-20 (b8 x 1M, fwd+bwd): fused LOSES at
+# every band — 55.3 vs 52.6 ms at band 144, 49.4 vs 46.2 at 96 (the
+# [band, 2048]-lane result tile costs more than the second dot saves) —
+# keep the split dots; flag retained for re-measurement on new hardware.
+FUSED_BWD = False
 
 
 def _taps(coords_yx, weight, height, width):
@@ -342,8 +349,13 @@ def _banded_bwd_kernel(rs_ref, fits_ref, y1_ref, x1_ref, ay0_ref, ay1_ref,
                + jnp.where(cx1, _row(bx1_ref, j), 0.0)).astype(compute_dtype)
         d_t = (jnp.where(cx1, _row(mx1_ref, j), 0.0)
                - jnp.where(cx0, _row(mx0_ref, j), 0.0)).astype(compute_dtype)
-        da_t = jnp.dot(g, b_t, preferred_element_type=jnp.float32)
-        m_t = jnp.dot(g, d_t, preferred_element_type=jnp.float32)
+        if FUSED_BWD:
+            gd = jnp.dot(g, jnp.concatenate([b_t, d_t], axis=1),
+                         preferred_element_type=jnp.float32)
+            da_t, m_t = gd[:, :BE], gd[:, BE:]
+        else:
+            da_t = jnp.dot(g, b_t, preferred_element_type=jnp.float32)
+            m_t = jnp.dot(g, d_t, preferred_element_type=jnp.float32)
 
         rows = jax.lax.broadcasted_iota(jnp.int32, (nrows, BE), 0) + rs
         y1 = _row(y1_ref, j)

