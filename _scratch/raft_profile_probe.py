@@ -1,6 +1,6 @@
-"""Dissect the b6 self-sup RAFT-Spline train step (875 ms):
-fwd-only loss value, iters sweep, encoder/corr-build share via fwd timing.
-One TPU process."""
+"""Dissect the b6 self-sup RAFT-Spline train step at the round-4 bf16
+operating point (736.6 ms): iters sweep for the per-iteration slope +
+intercept.  One TPU process."""
 import functools, json
 import numpy as np
 
@@ -23,7 +23,8 @@ def main():
                                 bezier_degree=10,
                                 ev_target_indices=(8, 16, 24, 32, 40),
                                 ev_levels=(1, 1, 1, 1, 4), iters=iters,
-                                corr_dtype="bfloat16")
+                                corr_dtype="bfloat16",
+                                compute_dtype="bfloat16")
 
     cfg = make(12)
     voxel = jnp.asarray(rng.normal(size=(b, cfg.nbins_total, h, w))

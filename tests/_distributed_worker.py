@@ -1,7 +1,11 @@
 """Worker for the 2-process jax.distributed CPU-cluster test.
 
 Run as: python tests/_distributed_worker.py <process_id> <num_processes>
-        <port> <workdir>
+        <port> <workdir> [total_devices=4]
+
+total_devices spans the global mesh (data=total//2, event=2); the 2-process
+test uses the default 4, the N-hosts correctness harness
+(benchmarks/scaling_hosts.py) passes 8.
 
 With num_processes=2 this exercises the real multi-host path of
 train_flow (host-local loading -> host_local_batch_to_global -> SPMD train
@@ -19,7 +23,8 @@ import sys
 def main():
     pid, nproc, port, workdir = (int(sys.argv[1]), int(sys.argv[2]),
                                  int(sys.argv[3]), sys.argv[4])
-    per_proc_devices = 4 // nproc
+    total_devices = int(sys.argv[5]) if len(sys.argv) > 5 else 4
+    per_proc_devices = total_devices // nproc
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["XLA_FLAGS"] = (
         f"--xla_force_host_platform_device_count={per_proc_devices}")
@@ -36,14 +41,14 @@ def main():
         initialize_distributed(coordinator_address=f"127.0.0.1:{port}",
                                num_processes=nproc, process_id=pid)
     assert jax.process_count() == nproc
-    assert jax.device_count() == 4
+    assert jax.device_count() == total_devices
 
     import numpy as np
 
     out = {}
 
     # --- Part A: host-local -> global batch assembly ----------------------
-    if nproc > 1:
+    if nproc > 1 and total_devices == 4:
         mesh = make_mesh(data=2, event=2)
         local = {"events": np.full((1, 8, 6), float(pid + 1), np.float32),
                  "voxel": np.full((1, 3, 4, 4), float(pid + 1), np.float32)}
@@ -88,12 +93,15 @@ def main():
             return {"events": events, "forward_flow": gt,
                     "flow_valid": valid.astype(np.float32)}
 
-    mesh = make_mesh(data=2, event=2)
+    data_axis = total_devices // 2
+    mesh = make_mesh(data=data_axis, event=2)
     shard = (pid, nproc) if nproc > 1 else None
     ds = SyntheticDataset()
-    train_loader = DataLoader(ds, batch_size=2 // nproc, capacity=n_ev,
+    train_loader = DataLoader(ds, batch_size=data_axis // nproc,
+                              capacity=n_ev,
                               shuffle=False, num_workers=1, shard=shard)
-    val_loader = DataLoader(ds, batch_size=2 // nproc, capacity=n_ev,
+    val_loader = DataLoader(ds, batch_size=data_axis // nproc,
+                            capacity=n_ev,
                             shuffle=False, num_workers=1, shard=shard)
 
     cfg = TrajectoryNetConfig(image_shape=(h, w), num_bins=nbins,

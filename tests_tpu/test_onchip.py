@@ -231,7 +231,5 @@ def test_train_step_loss_pinned_golden(rng):
     step = jax.jit(functools.partial(train_step, cfg=cfg, loss_cfg=loss_cfg))
     _, logs = step(state, batch, jax.random.PRNGKey(1))
     loss = float(logs["train_losses/total"])
-    GOLDEN = None  # filled from the first on-chip run; see conftest note
-    if GOLDEN is None:
-        pytest.skip(f"golden not recorded yet; measured {loss!r}")
+    GOLDEN = 0.6620147228240967  # v5e, 2026-08-20, round-4 defaults
     assert abs(loss - GOLDEN) < 1e-3 * max(abs(GOLDEN), 1.0), (loss, GOLDEN)
