@@ -41,6 +41,10 @@ def main():
                     help="gamma-weighted all-iteration self-sup loss "
                          "(default: final-iteration only)")
     ap.add_argument("--remat-encoders", action="store_true")
+    ap.add_argument("--remat-policy", default=None,
+                    choices=(None, "dots"),
+                    help="iteration-remat policy: 'dots' saves conv/matmul "
+                         "results and recomputes only elementwise work")
     ap.add_argument("--supervised", action="store_true",
                     help="bench the gamma-weighted supervised MultiFlow "
                          "train step instead of the self-sup CMax step")
@@ -59,7 +63,8 @@ def main():
                            ev_levels=(1, 1, 1, 1, 4), iters=12,
                            corr_dtype=args.corr_dtype,
                            compute_dtype=args.compute_dtype,
-                           remat_encoders=args.remat_encoders)
+                           remat_encoders=args.remat_encoders,
+                           remat_policy=args.remat_policy)
     h, w, b = 384, 512, args.batch
     rng = np.random.default_rng(0)
     voxel = jnp.asarray(rng.normal(size=(b, cfg.nbins_total, h, w))

@@ -80,6 +80,13 @@ class RAFTSplineConfig:
     # and mask head outputs stay f32 (update.py docstring).  f32 default for
     # reference parity.
     compute_dtype: str = "float32"
+    # Rematerialization policy for the scanned iteration body (only with
+    # remat_iters).  None = full remat (recompute everything; the measured
+    # b6 operating point).  'dots' = jax.checkpoint_policies
+    # .checkpoint_dots: conv/matmul RESULTS are saved and only elementwise
+    # work is recomputed in the backward — trades iteration-activation
+    # memory for skipping the MXU half of the re-forward.
+    remat_policy: Optional[str] = None
 
     def __post_init__(self):
         assert self.use_events or self.use_boundary_images
@@ -229,7 +236,15 @@ class RAFTSpline(nn.Module):
         # lax.scan shares one compiled iteration body across the 12 steps
         # (the unrolled loop compiles ~iters x slower); nn.scan threads the
         # shared update-block parameters through the loop.
-        scan_body = nn.remat(body, prevent_cse=False) if cfg.remat_iters else body
+        if cfg.remat_iters:
+            policy = None
+            if cfg.remat_policy == "dots":
+                policy = jax.checkpoint_policies.checkpoint_dots
+            elif cfg.remat_policy is not None:
+                raise ValueError(f"unknown remat_policy {cfg.remat_policy!r}")
+            scan_body = nn.remat(body, prevent_cse=False, policy=policy)
+        else:
+            scan_body = body
         scan = nn.scan(
             scan_body,
             variable_broadcast="params",
