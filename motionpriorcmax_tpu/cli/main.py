@@ -423,6 +423,9 @@ def cmd_traj_train(args) -> int:
         freeze_bn=mc.get("freeze_bn", False),
         remat_iters=mc.get("remat_iters", True),
         remat_encoders=mc.get("remat_encoders", False),
+        # `model.remat_policy=dots` + corr/compute bf16 is the measured
+        # single-chip batch-6 recipe (627.9 ms/step, ROADMAP round-4 log).
+        remat_policy=mc.get("remat_policy"),
         corr_dtype=mc.get("corr_dtype", "float32"),
         compute_dtype=mc.get("compute_dtype", "float32"))
 
