@@ -24,7 +24,8 @@ def main():
                                 ev_target_indices=(8, 16, 24, 32, 40),
                                 ev_levels=(1, 1, 1, 1, 4), iters=iters,
                                 corr_dtype="bfloat16",
-                                compute_dtype="bfloat16")
+                                compute_dtype="bfloat16",
+                                remat_policy="dots")
 
     cfg = make(12)
     voxel = jnp.asarray(rng.normal(size=(b, cfg.nbins_total, h, w))
@@ -56,7 +57,7 @@ def main():
     emit("fwd12_testmode", dt * 1e3)
 
     # full train step at iters = 12 / 4 (GRU-scan share from the slope)
-    for it in (12, 4):
+    for it in (12, 4, 1):
         cfg_i = make(it)
         st = create_raft_state(cfg_i, RAFTTrainConfig(use_scheduler=False),
                                jax.random.PRNGKey(0), (h, w))
