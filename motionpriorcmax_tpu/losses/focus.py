@@ -156,6 +156,13 @@ class FocusLossConfig:
     # TPU backend — measured 406 -> 359 ms per b8 x 1M train step; with the
     # banded vote the combo lands 337 ms = 24.9 M events/s).
     lut_gather_impl: Optional[str] = None
+    # Backward segment-sum boundary gather: 'xla' (take_along_axis over the
+    # [M+1, 2] csum table — 17.6 ms of the 18.4 ms sorted backward at
+    # b8 x 1M: 2.3M narrow row reads wasting 126/128 lanes) or 'pallas'
+    # (csum viewed as a [R, 128, C] grid, banded one-hot MXU gather at
+    # precision=HIGHEST — exact, the differences would amplify DEFAULT-dot
+    # rounding).  None = auto ('pallas' on the TPU backend).
+    segsum_gather_impl: Optional[str] = None
 
     # The trajectories handed to `focus_loss` must include pixel offsets
     # (reference TrajectoryLossBase.is_needing_offsets, focus.py:46).
@@ -462,7 +469,10 @@ def warp_events(cfg: FocusLossConfig, events: jnp.ndarray,
                     + jnp.clip(it, 0, n_bins - 1))
         lut_grid = jnp.transpose(flow_lut, (0, 2, 1, 3, 4, 5)).reshape(
             b, hq * n_bins, wq, n_tref * 2)
-        bwd_impl = "sorted"
+        seg_impl = cfg.segsum_gather_impl
+        if seg_impl is None:
+            seg_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        bwd_impl = "sorted_pallas" if seg_impl == "pallas" else "sorted"
         lut_impl = cfg.lut_gather_impl
         if lut_impl is None:
             lut_impl = "pallas" if jax.default_backend() == "tpu" else "xla"

@@ -417,6 +417,57 @@ def _segment_sum_sorted(flat_idx: jnp.ndarray, grads: jnp.ndarray, *,
     return (gath - prev).reshape(-1, num_cells, c).sum(axis=0)
 
 
+def _segment_sum_sorted_batch_pallas(grads: jnp.ndarray,
+                                     cell_ends: jnp.ndarray,
+                                     num_cells: int) -> jnp.ndarray:
+    """Batched `_segment_sum_sorted` with the boundary gather on the MXU.
+
+    The cumsum itself is cheap (2.4 ms at b8 x 1M) — the cost of the sorted
+    backward is the BOUNDARY GATHER `csum[cell_ends]` (17.6 ms measured):
+    XLA serializes 2.3M narrow row reads from a [M+1, 2] table whose 2-wide
+    rows waste 126/128 lanes.  cell_ends is ascending, so the gather is
+    exactly the banded lut_gather_sorted problem: view csum as a
+    [R=(M+1)/128, 128, C] grid, rows = ce // 128, cols = ce % 128.
+    precision=HIGHEST keeps the gathered values exact — the subsequent
+    adjacent-boundary differences would amplify the DEFAULT dot's ~0.4%
+    result rounding of csum-magnitude values catastrophically.
+
+    Args:
+      grads: [B, M, C] cotangents.
+      cell_ends: [B, S * num_cells] ascending int32 right boundaries.
+    Returns:
+      [B, num_cells, C] float32.
+    """
+    from .pallas.lut_gather import lut_gather_sorted
+
+    bsz, _, c = grads.shape
+    csum = jnp.cumsum(grads.astype(jnp.float32), axis=1)
+    csum = jnp.concatenate([jnp.zeros((bsz, 1, c), jnp.float32), csum],
+                           axis=1)                          # [B, M+1, C]
+    lanes = 128
+    pad = (-csum.shape[1]) % lanes
+    grid = jnp.pad(csum, ((0, 0), (0, pad), (0, 0))).reshape(
+        bsz, -1, lanes, c)                                  # [B, R, 128, C]
+    rows = (cell_ends // lanes).astype(jnp.int32)
+    cols = (cell_ends % lanes).astype(jnp.int32)
+    # 1024 consecutive boundaries advance ~1024 * (M / cells) events
+    # (~30 rows at the 3.6 ev/cell flow shape); band 64 leaves slack, and
+    # denser stretches fall back to the chunked full-height branch.
+    # One call PER CHANNEL: the [R, 128*C] table is ~8.4 MB at 1M events
+    # and C=2, and the whole-table VMEM block overflowed the 16 MB scoped
+    # limit by 128 KB (measured HTTP OOM); per-channel halves it.
+    gath = jnp.concatenate([
+        lut_gather_sorted(grid[..., ci:ci + 1], rows, cols,
+                          interpret=jax.default_backend() != "tpu",
+                          band_rows=64,
+                          precision=jax.lax.Precision.HIGHEST)
+        for ci in range(c)], axis=-1)
+    prev = jnp.concatenate([jnp.zeros((bsz, 1, c), jnp.float32),
+                            gath[:, :-1]], axis=1)
+    segs = (gath - prev).reshape(bsz, -1, num_cells, c)
+    return segs.sum(axis=1)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 5, 6))
 def grid_gather(grid: jnp.ndarray, rows_idx: jnp.ndarray,
                 cols_idx: jnp.ndarray, bwd_impl: str = "matmul",
@@ -483,6 +534,12 @@ def _grid_gather_bwd(bwd_impl, fwd_impl, fwd_band_rows, residuals, g_out):
             lambda ri, ci, g: _segment_sum_matmul(ri, ci, g, num_rows=r,
                                                   num_cols=x)
         )(rows_idx, cols_idx, g_out)
+    elif bwd_impl == "sorted_pallas":
+        # 'sorted' with the boundary gather as a banded one-hot MXU
+        # contraction (requires cell_ends; exact via precision=HIGHEST).
+        assert cell_ends is not None, "sorted_pallas needs cell_ends"
+        d_grid = _segment_sum_sorted_batch_pallas(
+            g_out, cell_ends, r * x).reshape(b, r, x, c)
     elif bwd_impl == "sorted":
         # Requires rows_idx * x + cols_idx ascending along M per segment
         # (cell-sorted events — see data/host_ops.py::lut_cell_sort).

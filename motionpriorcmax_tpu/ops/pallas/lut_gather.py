@@ -59,7 +59,7 @@ def _row(ref, j):
 
 
 def _kernel(rs_ref, fits_ref, rows_ref, cols_ref, lut_ref, out_ref, *, c,
-            band):
+            band, precision=None):
     """rows/cols [1,1,KB,BE] int32; lut [1, R, Wq*C]; out [1,1,KB,C*BE]."""
     r_full = lut_ref.shape[1]
     wq = lut_ref.shape[2] // c
@@ -75,7 +75,13 @@ def _kernel(rs_ref, fits_ref, rows_ref, cols_ref, lut_ref, out_ref, *, c,
         a_t = jnp.where(riota == rows, 1.0, 0.0)             # [band, E]
         for ci in range(c):
             slice_c = lut[:, ci * wq:(ci + 1) * wq]          # [band, Wq]
-            m2 = jnp.dot(slice_c, b_t,
+            # precision=HIGHEST keeps the gathered VALUES exact (one
+            # non-zero per column -> no accumulation; only operand
+            # truncation could round, and HIGHEST prevents it).  Needed
+            # when callers difference the results (csum boundary gather);
+            # None (DEFAULT, ~0.4% result rounding) is fine for the flow
+            # LUT whose tolerance is value-scale.
+            m2 = jnp.dot(slice_c, b_t, precision=precision,
                          preferred_element_type=jnp.float32)  # [band, E]
             part = jnp.sum(a_t * m2, axis=0)
             sl = pl.ds(ci * BE, BE)
@@ -117,7 +123,8 @@ def _pad_round(n, mult):
 def lut_gather_sorted(lut_grid: jnp.ndarray, rows_idx: jnp.ndarray,
                       cols_idx: jnp.ndarray,
                       interpret: bool = False,
-                      band_rows: int | None = None) -> jnp.ndarray:
+                      band_rows: int | None = None,
+                      precision=None) -> jnp.ndarray:
     """out[b, e, :] = lut_grid[b, rows_idx[b,e], cols_idx[b,e], :].
 
     Requires rows_idx ascending along E per polarity segment (cell-sorted
@@ -164,7 +171,7 @@ def lut_gather_sorted(lut_grid: jnp.ndarray, rows_idx: jnp.ndarray,
     fits = fits[:, :, None, :]
 
     out = pl.pallas_call(
-        functools.partial(_kernel, c=c, band=band),
+        functools.partial(_kernel, c=c, band=band, precision=precision),
         grid=(b, nb),
         in_specs=[_rs_spec(), _rs_spec(), _evt_spec(), _evt_spec(),
                   pl.BlockSpec((1, r_pad, wq_pad * c),

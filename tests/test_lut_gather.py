@@ -65,3 +65,28 @@ def test_focus_loss_pallas_gather_matches(rng):
     np.testing.assert_allclose(float(l_pal), float(l_ref), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref),
                                atol=1e-5, rtol=1e-4)
+
+
+def test_segment_sum_sorted_pallas_matches(rng):
+    """grid_gather bwd_impl='sorted_pallas' (banded MXU boundary gather at
+    precision=HIGHEST over the csum table) == 'sorted' gradients exactly
+    (interpret mode; the HIGHEST one-hot dot has one non-zero per column,
+    so gathered values carry no rounding)."""
+    from motionpriorcmax_tpu.ops import events as ev_ops
+
+    b, r, x, c, m = 2, 60, 32, 2, 5000
+    grid = rng.normal(size=(b, r, x, c)).astype(np.float32)
+    flat = np.sort(rng.integers(0, r * x, (b, m)), axis=1).astype(np.int32)
+    rows = (flat // x).astype(np.int32)
+    cols = (flat % x).astype(np.int32)
+    ends = np.stack([np.searchsorted(flat[i], np.arange(r * x), "right")
+                     for i in range(b)]).astype(np.int32)
+
+    def loss(g, impl):
+        out = ev_ops.grid_gather(jnp.asarray(g), jnp.asarray(rows),
+                                 jnp.asarray(cols), impl, jnp.asarray(ends))
+        return jnp.sum(out ** 2)
+
+    g_sorted = np.asarray(jax.grad(lambda g: loss(g, "sorted"))(grid))
+    g_pallas = np.asarray(jax.grad(lambda g: loss(g, "sorted_pallas"))(grid))
+    np.testing.assert_allclose(g_pallas, g_sorted, rtol=1e-6, atol=1e-5)
