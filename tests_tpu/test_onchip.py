@@ -233,3 +233,62 @@ def test_train_step_loss_pinned_golden(rng):
     loss = float(logs["train_losses/total"])
     GOLDEN = 0.6620147228240967  # v5e, 2026-08-20, round-4 defaults
     assert abs(loss - GOLDEN) < 1e-3 * max(abs(GOLDEN), 1.0), (loss, GOLDEN)
+
+
+@pytest.mark.slow
+def test_selfsup_learning_on_chip_production_kernels(rng):
+    """Self-sup UNet training RECOVERS the flow on real hardware with every
+    production kernel engaged (softmax interp vpu-cross, banded Pallas vote,
+    Pallas LUT gather, sorted_pallas segsum backward via cell-sorted
+    events).  The CPU twin (tests/test_unet_selfsup_learning.py) runs the
+    exact-KNN XLA paths — this is the end-to-end GRADIENT check for the
+    kernels themselves: a wrong-but-finite kernel gradient shows up as
+    failure to converge, which per-step numeric gates cannot see.
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from motionpriorcmax_tpu.data.host_ops import lut_cell_sort
+    from motionpriorcmax_tpu.losses import FocusLossConfig
+    from motionpriorcmax_tpu.training import (TrajectoryNetConfig,
+                                              create_train_state, train_step)
+    from motionpriorcmax_tpu.training.trajectory_net import (
+        TrajectoryModel, _flow_from_coeffs, voxelize_batch_on_device)
+    from tests.test_focus_loss import H, W, NBINS, make_translating_events
+
+    true_flow = (5.0, 7.0)
+    ev = make_translating_events(rng, true_flow, n_lines=10, m=2048)
+    cfg = TrajectoryNetConfig(image_shape=(H, W), num_bins=NBINS,
+                              num_basis=1, patch_size=4, lr=1e-3)
+    loss_cfg = FocusLossConfig(image_shape=(H, W), num_bins=NBINS,
+                               num_knn=8, smooth_weight=0.003,
+                               polarity_aware_batching=False,
+                               knn_block_size=64, knn_method="softmax")
+    ev_sorted, ends = lut_cell_sort(np.asarray(ev[0]), (H, W), NBINS,
+                                    loss_cfg.lut_superpixel_size)
+    batch = {"events": jnp.asarray(ev_sorted[None]),
+             "lut_cell_ends": jnp.asarray(ends[None])}
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    step = jax.jit(functools.partial(train_step, cfg=cfg, loss_cfg=loss_cfg))
+
+    key = jax.random.PRNGKey(1)
+    for _i in range(120):
+        key, sub = jax.random.split(key)
+        state, logs = step(state, batch, sub)
+    assert np.isfinite(float(logs["train_losses/total"]))
+
+    model = TrajectoryModel(cfg)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    voxel = voxelize_batch_on_device(cfg, batch["events"])
+    coeff = model.apply(variables, voxel, train=False)
+
+    def basis_fn(t):
+        return model.apply({"params": state.params}, t,
+                           method=TrajectoryModel.basis)
+
+    flow = np.asarray(_flow_from_coeffs(cfg, coeff, basis_fn))[0]
+    est = np.array([flow[0].mean(), flow[1].mean()])
+    err = np.linalg.norm(est - np.asarray(true_flow))
+    assert err < 2.5, f"recovered {est} vs true {true_flow} (err {err:.2f})"
