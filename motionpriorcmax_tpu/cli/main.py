@@ -81,7 +81,13 @@ def cmd_flow_train(args) -> int:
     def make_loader(split, shuffle):
         provider = DsecDatasetProvider(
             dc["data_path"], split=split, num_bins=dc["num_bins"],
-            polarity_aware_batching=pab)
+            polarity_aware_batching=pab,
+            # Host voxelize (C++ in the loader threads, overlapped) by
+            # default: the on-device XLA scatter costs 785 ms at b8 x 1M —
+            # 3.5x the rest of the step (ROADMAP round-4 log).
+            host_voxelize=not args.device_voxelize,
+            voxel_norm_type=dc.get("norm_type", "mean_std"),
+            voxel_quantile=dc.get("quantile", 0.0))
         return DataLoader(provider, batch_size=dc["batch_size"] // n_proc,
                           capacity=capacity, shuffle=shuffle,
                           num_workers=dc.get("num_workers", 8),
@@ -701,6 +707,10 @@ def main(argv=None) -> int:
     p.add_argument("--workdir", default=None)
     p.add_argument("--ckp_path", default=None)
     p.add_argument("--event-capacity", type=int, default=1 << 20)
+    p.add_argument("--device-voxelize", action="store_true",
+                   help="voxelize inside the jitted step (XLA scatter; "
+                        "785 ms at b8 x 1M) instead of the default host "
+                        "C++ vote in the loader threads")
     p.add_argument("--event-capacity-buckets", default=None,
                    type=_parse_buckets,
                    help="comma-separated ascending capacities; batches pad to "

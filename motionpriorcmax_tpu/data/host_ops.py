@@ -170,3 +170,73 @@ def lut_cell_sort(events: np.ndarray, image_shape, num_bins: int,
         ends_all.append(lo + np.searchsorted(
             k_sorted, np.arange(num_bins * hq * wq), side="right"))
     return out, np.concatenate(ends_all).astype(np.int32)
+
+
+def _voxel_grid_tnorm_numpy(x, y, t_norm, p, num_bins, height, width):
+    """8-corner trilinear vote with PRE-normalized t (units of bins)."""
+    grid = np.zeros(num_bins * height * width, np.float64)
+    value = 2.0 * p.astype(np.float64) - 1.0
+    xf = np.floor(x); yf = np.floor(y); tf = np.floor(t_norm)
+    for xlim in (xf, xf + 1):
+        for ylim in (yf, yf + 1):
+            for tlim in (tf, tf + 1):
+                mask = ((xlim >= 0) & (xlim < width) & (ylim >= 0)
+                        & (ylim < height) & (tlim >= 0) & (tlim < num_bins))
+                w = (value * (1 - np.abs(xlim - x)) * (1 - np.abs(ylim - y))
+                     * (1 - np.abs(tlim - t_norm)))
+                idx = (tlim.astype(np.int64) * height
+                       + ylim.astype(np.int64)) * width + xlim.astype(np.int64)
+                np.add.at(grid, idx[mask], w[mask])
+    return grid.reshape(num_bins, height, width).astype(np.float32)
+
+
+def voxelize_normalized_host(events: np.ndarray, num_bins: int, height: int,
+                             width: int, norm_type: str | None = "mean_std",
+                             quantile: float = 0.0) -> np.ndarray:
+    """Packed (y, x, t, p, bin[, valid]) rows -> normalized [nbins, H, W].
+
+    Host twin of training.trajectory_net.voxelize_batch_on_device (trilinear
+    vote + quantile clamp + nonzero mean/std norm, matching
+    src/loader/dsec/utils.py:29-75): the production loader voxelizes in its
+    C++ worker threads (native/event_ops.cc, GIL released) and overlaps with
+    device compute — the measured on-device XLA scatter costs 785 ms at
+    b8 x 1M (serialized updates), 3.5x the whole remaining train step.
+    """
+    y = events[:, 0].astype(np.float32)
+    x = events[:, 1].astype(np.float32)
+    t_norm = events[:, 2].astype(np.float32) * (num_bins - 1)
+    p = events[:, 3].astype(np.float32)
+    if events.shape[1] > 5:
+        m = events[:, 5] > 0
+        y, x, t_norm, p = y[m], x[m], t_norm[m], p[m]
+
+    from ..native import available as native_available
+    if native_available():
+        from ..native import voxelize_trilinear
+
+        grid = voxelize_trilinear(x, y, t_norm, p, num_bins, height, width)
+    else:
+        grid = _voxel_grid_tnorm_numpy(x, y, t_norm, p, num_bins, height,
+                                       width)
+    if quantile > 0:
+        thr = np.quantile(np.abs(grid), 1.0 - quantile)
+        grid = np.where(np.abs(grid) > thr,
+                        np.sign(grid) * thr, grid).astype(np.float32)
+    if norm_type == "max":
+        mx = np.abs(grid).max()
+        return grid / mx if mx > 0 else grid
+    if norm_type == "mean_std":
+        nz = grid != 0
+        n = int(nz.sum())
+        if n > 0:
+            vals = grid[nz]
+            mean = vals.mean(dtype=np.float64)
+            var = (np.square(vals.astype(np.float64) - mean).sum()
+                   / max(n - 1, 1))
+            std = np.sqrt(var)
+            grid = grid.copy()
+            grid[nz] = ((vals - mean) / std if std > 0
+                        else vals - mean).astype(np.float32)
+        return grid
+    assert norm_type is None, norm_type
+    return grid

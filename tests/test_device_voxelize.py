@@ -44,3 +44,37 @@ def test_train_step_without_host_voxel(rng):
     a = jax.tree_util.tree_leaves(state.params)[0]
     b = jax.tree_util.tree_leaves(new_state.params)[0]
     assert not np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_host_voxelize_matches_device(rng):
+    """voxelize_normalized_host (the loader's C++/numpy vote + clamp + norm)
+    == voxelize_batch_on_device on fractional rectified coords — the two
+    production voxel sources must be interchangeable (the CLI defaults to
+    host; bench/tests to device)."""
+    import jax
+    import jax.numpy as jnp
+
+    from motionpriorcmax_tpu.data.host_ops import voxelize_normalized_host
+    from motionpriorcmax_tpu.training import TrajectoryNetConfig
+    from motionpriorcmax_tpu.training.trajectory_net import (
+        voxelize_batch_on_device)
+
+    h, w, nbins, m = 24, 32, 5, 4000
+    y = rng.uniform(-1, h, m).astype(np.float32)   # incl. out-of-range
+    x = rng.uniform(-1, w, m).astype(np.float32)
+    t = rng.uniform(0, 1, m).astype(np.float32)
+    p = rng.integers(0, 2, m).astype(np.float32)
+    b = np.clip((t * nbins).astype(np.int32), 0, nbins - 1)
+    valid = (rng.uniform(size=m) > 0.1).astype(np.float32)
+    events = np.stack([y, x, t, p, b, valid], -1).astype(np.float32)
+
+    for norm_type, quantile in (("mean_std", 0.0), ("mean_std", 0.02),
+                                ("max", 0.0), (None, 0.0)):
+        cfg = TrajectoryNetConfig(image_shape=(h, w), num_bins=nbins,
+                                  voxel_norm_type=norm_type,
+                                  voxel_quantile=quantile)
+        dev = np.asarray(voxelize_batch_on_device(
+            cfg, jnp.asarray(events[None])))[0]
+        host = voxelize_normalized_host(events, nbins, h, w, norm_type,
+                                        quantile)
+        np.testing.assert_allclose(host, dev, atol=2e-4, rtol=2e-4)
