@@ -175,17 +175,41 @@ def _flow_from_coeffs(cfg: TrajectoryNetConfig, coeff_grid: jnp.ndarray,
 
 
 def voxelize_batch_on_device(cfg: TrajectoryNetConfig,
-                             events: jnp.ndarray) -> jnp.ndarray:
+                             events: jnp.ndarray,
+                             sorted_cell_size: int | None = None
+                             ) -> jnp.ndarray:
     """[B, M, 6] (y, x, t, p, bin, valid) -> [B, num_bins, H, W] voxel grids.
 
     Same semantics as the host/reference voxel path: trilinear vote with
     t_norm = t * (num_bins - 1) (the loader already normalized t to [0, 1]),
     then quantile clamp and mean_std/max normalization
-    (src/loader/dsec/utils.py:29-75)."""
+    (src/loader/dsec/utils.py:29-75).
+
+    sorted_cell_size: set to the loader's lut_cell_sort `s` when the events
+    arrive cell-sorted — the trilinear vote then runs as the banded Pallas
+    one-hot kernel (ops/pallas/voxel_vote.py, 167 vs 773 ms at b8 x 1M on
+    v5e; bf16 tap tiles, ~0.25% of the vote magnitude) instead of the
+    serialized XLA scatter.  Exact for any input; only speed needs the sort.
+    (The production CLI voxelizes on the HOST instead — this device path
+    serves --device-voxelize and event-sharded runs.)"""
     from ..ops.events import (clamp_voxel_grid_quantile, normalize_voxel_grid,
                               voxel_grid_from_events)
 
     h, w = cfg.image_shape
+
+    if sorted_cell_size and h % sorted_cell_size == 0:
+        from ..ops.pallas.voxel_vote import voxel_vote_pallas_sorted
+
+        grids = voxel_vote_pallas_sorted(
+            events, num_bins=cfg.num_bins, height=h, width=w,
+            cell_size=sorted_cell_size,
+            interpret=jax.default_backend() != "tpu")
+
+        def post(grid):
+            grid = clamp_voxel_grid_quantile(grid, cfg.voxel_quantile)
+            return normalize_voxel_grid(grid, cfg.voxel_norm_type)
+
+        return jax.vmap(post)(grids)
 
     def one(ev):
         grid = voxel_grid_from_events(
@@ -217,10 +241,16 @@ def _step(cfg: TrajectoryNetConfig, loss_cfg: FocusLossConfig,
 
     voxel = batch.get("voxel")
     if voxel is None:
-        # TPU-first: voxelize inside the jitted step from the raw padded
-        # events — the reference does this on CPU dataloader workers
-        # (SURVEY.md §3.1 hot loop (e)); here it rides the accelerator.
-        voxel = voxelize_batch_on_device(cfg, batch["events"])
+        # Voxelize inside the jitted step from the raw padded events (the
+        # --device-voxelize path; the CLI default ships host-voxelized
+        # grids).  Cell-sorted batches (lut_cell_ends present, sort key
+        # shared with the loss LUT) take the banded Pallas vote.
+        sorted_s = None
+        if ("lut_cell_ends" in batch
+                and loss_cfg.num_bins == cfg.num_bins):
+            sorted_s = loss_cfg.lut_superpixel_size
+        voxel = voxelize_batch_on_device(cfg, batch["events"],
+                                         sorted_cell_size=sorted_s)
 
     if train:
         coeff_grid, mutated = model.apply(
