@@ -292,3 +292,41 @@ def test_selfsup_learning_on_chip_production_kernels(rng):
     est = np.array([flow[0].mean(), flow[1].mean()])
     err = np.linalg.norm(est - np.asarray(true_flow))
     assert err < 2.5, f"recovered {est} vs true {true_flow} (err {err:.2f})"
+
+
+def test_voxel_vote_pallas_matches_scatter_on_chip(rng):
+    """Banded Pallas voxel vote vs the exact XLA scatter voxelizer at
+    b2 x 256k on REAL hardware (interpret mode hid the round-2 Mosaic dot
+    bug — every new kernel gets an on-chip numerics gate).  Tolerance is
+    the designed bf16 tap-tile truncation (~0.4% of the vote magnitude)."""
+    import jax
+    import jax.numpy as jnp
+
+    from motionpriorcmax_tpu.data.host_ops import lut_cell_sort
+    from motionpriorcmax_tpu.ops.events import voxel_grid_from_events
+    from motionpriorcmax_tpu.ops.pallas.voxel_vote import (
+        voxel_vote_pallas_sorted)
+
+    h, w, nbins, b, m, s = 480, 640, 15, 2, 1 << 18, 4
+    y = rng.uniform(-1, h, (b, m)).astype(np.float32)
+    x = rng.uniform(-1, w, (b, m)).astype(np.float32)
+    t = rng.uniform(0, 1, (b, m)).astype(np.float32)
+    p = rng.integers(0, 2, (b, m)).astype(np.float32)
+    bi = np.clip((t * nbins).astype(np.int32), 0, nbins - 1)
+    valid = (rng.uniform(size=(b, m)) > 0.05).astype(np.float32)
+    ev = np.stack([y, x, t, p, bi, valid], -1).astype(np.float32)
+    pairs = [lut_cell_sort(e, (h, w), nbins, s) for e in ev]
+    evj = jnp.asarray(np.stack([q[0] for q in pairs]))
+
+    got = np.asarray(jax.jit(functools.partial(
+        voxel_vote_pallas_sorted, num_bins=nbins, height=h, width=w,
+        cell_size=s))(evj))
+    evs = np.asarray(evj)
+    want = np.stack([np.asarray(voxel_grid_from_events(
+        jnp.asarray(evs[i, :, 0]), jnp.asarray(evs[i, :, 1]),
+        jnp.asarray(evs[i, :, 2] * (nbins - 1)), jnp.asarray(evs[i, :, 3]),
+        jnp.asarray(evs[i, :, 5]), num_bins=nbins, height=h, width=w))
+        for i in range(b)])
+    scale = np.abs(want).max()
+    assert np.abs(got - want).max() < 0.01 * scale + 1e-3, (
+        np.abs(got - want).max(), scale)
