@@ -283,6 +283,18 @@ def raft_spline_torch_key(path: Tuple[str, ...], leaf: str) -> Optional[str]:
     return None
 
 
+def _torch_key_aliases(torch_key: str) -> Tuple[str, ...]:
+    """Alternate torch state-dict names for the same parameter.
+
+    In the canonical RAFT ResidualBlock the third norm is registered BOTH as
+    `norm3` and inside `downsample.1` (the nn.Sequential shares the module),
+    so a real checkpoint carries the tensor under either or both names.
+    """
+    if ".norm3." in torch_key:
+        return (torch_key, torch_key.replace(".norm3.", ".downsample.1."))
+    return (torch_key,)
+
+
 def torch_raft_spline_to_flax(state_dict: Dict[str, np.ndarray],
                               template: Dict[str, Any]) -> Dict[str, Any]:
     """Canonical RAFT/E-RAFT state_dict -> RAFTSpline flax variables.
@@ -298,13 +310,20 @@ def torch_raft_spline_to_flax(state_dict: Dict[str, np.ndarray],
       variables dict with converted 'params' / 'batch_stats'.
 
     Raises:
-      KeyError listing missing torch keys for any flax leaf that expects
-      one (shape mismatches raise ValueError).
+      KeyError with a TWO-SIDED diagnostic when the torch naming and the
+      expected canonical RAFT layout disagree: every flax leaf whose torch
+      key is absent (missing) AND every torch key (with its shape) that no
+      flax leaf consumed (unconsumed) — so a checkpoint whose update block
+      is named, say, `motion_encoder.*` reports both lists instead of a
+      bare KeyError.  Shape mismatches raise ValueError.  BatchNorm
+      `num_batches_tracked` counters are ignored (flax BatchNorm keeps no
+      analog).
     """
     import jax
 
     sd = {k: np.asarray(v) for k, v in state_dict.items()}
     missing = []
+    consumed = set()
 
     def convert(collection_name, tree):
         flat = jax.tree_util.tree_flatten_with_path(tree)[0]
@@ -315,16 +334,19 @@ def torch_raft_spline_to_flax(state_dict: Dict[str, np.ndarray],
             if torch_key is None:
                 out[path] = val
                 continue
-            if torch_key not in sd:
+            candidates = _torch_key_aliases(torch_key)
+            present = [k for k in candidates if k in sd]
+            consumed.update(present)
+            if not present:
                 missing.append(torch_key)
                 out[path] = val
                 continue
-            w = sd[torch_key]
+            w = sd[present[0]]
             if path[-1] == "kernel":
                 w = _conv(w)
             if tuple(w.shape) != tuple(np.shape(val)):
                 raise ValueError(
-                    f"{torch_key} -> {'/'.join(path)}: shape {w.shape} "
+                    f"{present[0]} -> {'/'.join(path)}: shape {w.shape} "
                     f"!= template {np.shape(val)}")
             out[path] = w
         # Rebuild the nested dict.
@@ -340,7 +362,18 @@ def torch_raft_spline_to_flax(state_dict: Dict[str, np.ndarray],
     if template.get("batch_stats"):
         variables["batch_stats"] = convert("batch_stats",
                                            template["batch_stats"])
-    if missing:
-        raise KeyError(f"missing torch keys: {sorted(set(missing))[:8]}"
-                       f" (+{max(0, len(set(missing)) - 8)} more)")
+    unconsumed = sorted(k for k in sd if k not in consumed
+                        and not k.endswith("num_batches_tracked"))
+    if missing or unconsumed:
+        def head(items, n=8):
+            items = sorted(set(items))
+            tail = f" (+{len(items) - n} more)" if len(items) > n else ""
+            return f"{items[:n]}{tail}"
+
+        unconsumed_shapes = [f"{k}{tuple(sd[k].shape)}" for k in unconsumed]
+        raise KeyError(
+            "torch<->flax key layout mismatch. "
+            f"missing torch keys (expected by the flax tree): {head(missing)}; "
+            f"unconsumed torch keys (present but unmapped): "
+            f"{head(unconsumed_shapes)}")
     return variables
