@@ -40,11 +40,18 @@ def main():
     ap.add_argument("--gamma", type=float, default=None,
                     help="gamma-weighted all-iteration self-sup loss "
                          "(default: final-iteration only)")
+    ap.add_argument("--gamma-sample-k", type=int, default=None,
+                    help="with --gamma: unbiased subsample of K non-final "
+                         "iterations per step (training/raft_spline.py)")
     ap.add_argument("--remat-encoders", action="store_true")
     ap.add_argument("--remat-policy", default=None,
                     choices=(None, "dots"),
                     help="iteration-remat policy: 'dots' saves conv/matmul "
                          "results and recomputes only elementwise work")
+    ap.add_argument("--interp-band", default="static",
+                    choices=("static", "dynamic", "per_group"),
+                    help="CMax interp row-band mode for the self-sup loss "
+                         "(losses/focus.py interp_band_dynamic)")
     ap.add_argument("--supervised", action="store_true",
                     help="bench the gamma-weighted supervised MultiFlow "
                          "train step instead of the self-sup CMax step")
@@ -137,7 +144,9 @@ def main():
     loss_cfg = FocusLossConfig(
         image_shape=(h, w), num_bins=41, num_knn=32, smooth_weight=0.06,
         smooth_type="on_flow_to_next", polarity_aware_batching=False,
-        knn_method="softmax", knn_block_size=512)
+        knn_method="softmax", knn_block_size=512,
+        interp_band_dynamic={"static": False, "dynamic": True,
+                             "per_group": "per_group"}[args.interp_band])
     m_ev = 1 << 19
     t = rng.uniform(0, 1, (b, m_ev))
     bins = np.clip((t * 41).astype(np.int32), 0, 40).astype(np.float32)
@@ -155,7 +164,8 @@ def main():
     tbatch = {"ev_repr": voxel, "events": events,
               "lut_cell_ends": cell_ends}
     tstep = jax.jit(functools.partial(raft_train_step, cfg=cfg,
-                                      loss_cfg=loss_cfg, gamma=args.gamma))
+                                      loss_cfg=loss_cfg, gamma=args.gamma,
+                                      gamma_sample_k=args.gamma_sample_k))
 
     def run(s):
         s2, logs = tstep(s, tbatch, jax.random.PRNGKey(3))
@@ -166,6 +176,7 @@ def main():
            "value": round(dt * 1e3, 1), "unit": "ms", "batch": b,
            "events": b * m_ev, "corr_dtype": args.corr_dtype,
            "compute_dtype": args.compute_dtype, "gamma": args.gamma,
+           "gamma_sample_k": args.gamma_sample_k,
            "events_per_s": round(b * m_ev / dt),
            "vs_baseline": round(
                (b / 6.0) * REFERENCE_RAFT_B6_STEP_MS / (dt * 1e3), 3)}

@@ -541,7 +541,11 @@ def cmd_traj_train(args) -> int:
             # `training.gamma=0.8` scores every GRU iteration with the
             # RAFT-lineage exponential weights; default supervises the
             # final iteration only (the measured bench operating point).
-            gamma=tcfg.get("gamma")), mesh)
+            # `training.gamma_sample_k=K` subsamples K of the non-final
+            # iterations per step (unbiased reweighting) — the affordable
+            # gamma recipe (training/raft_spline.py docstring).
+            gamma=tcfg.get("gamma"),
+            gamma_sample_k=tcfg.get("gamma_sample_k")), mesh)
 
     # Validation + best-k model selection (reference ModelCheckpoint-on-val,
     # scripts/flow_training.py:110-116): the eval split runs through

@@ -166,6 +166,52 @@ def test_raft_train_step_gamma_weighted(rng):
     assert not np.allclose(np.asarray(pf), np.asarray(pg))
 
 
+def test_raft_train_step_gamma_subsample_unbiased(rng):
+    """gamma_sample_k: (a) K = iters-1 reproduces the full gamma loss
+    exactly; (b) with K=1 at iters=3 the estimator takes exactly the two
+    analytic values 2*w_i*l_i + l_final whose uniform average IS the full
+    gamma loss — exact unbiasedness, not a statistical bound."""
+    cfg = tiny_cfg(iters=3)
+    tc = RAFTTrainConfig(use_scheduler=False, learning_rate=1e-3)
+    state = create_raft_state(cfg, tc, jax.random.PRNGKey(0), (H, W))
+    loss_cfg = FocusLossConfig(
+        image_shape=(H, W), num_tref=1, num_bins=5, num_knn=4,
+        smooth_weight=0.01, lut_superpixel_size=4, focus_loss_norm="l1",
+        polarity_aware_batching=False, interpolation_scheme="mean",
+        knn_block_size=64)
+    m_ev = 256
+    y = rng.uniform(0, H - 1, (1, m_ev)); x = rng.uniform(0, W - 1, (1, m_ev))
+    t = rng.uniform(0, 1, (1, m_ev))
+    p = rng.integers(0, 2, (1, m_ev)).astype(np.float32)
+    b = np.clip((t * 5).astype(np.int32), 0, 4)
+    events = np.stack([y, x, t, p, b, np.ones((1, m_ev))], -1).astype(np.float32)
+    batch = {
+        "ev_repr": jnp.asarray(rng.normal(size=(1, cfg.nbins_total, H, W))
+                               .astype(np.float32)),
+        "events": jnp.asarray(events),
+    }
+
+    def loss_at(k, key):
+        step = jax.jit(functools.partial(raft_train_step, cfg=cfg,
+                                         loss_cfg=loss_cfg, gamma=0.8,
+                                         gamma_sample_k=k))
+        _, logs = step(state, batch, key)
+        return float(logs["train_losses/total"])
+
+    # Exactness at K = iters - 1 (the rng choice reduces to a permutation).
+    key = jax.random.PRNGKey(1)
+    full = loss_at(None, key)
+    np.testing.assert_allclose(loss_at(2, key), full, rtol=1e-5)
+
+    # K=1: only two possible estimator values; their uniform mean == full.
+    # The reconstruction-times draw is shared (fold_in keeps it intact), so
+    # the per-iteration losses are identical across the sampled variants.
+    vals = sorted({round(loss_at(1, jax.random.PRNGKey(s)), 5)
+                   for s in range(16)})
+    assert len(vals) == 2, vals
+    np.testing.assert_allclose(np.mean(vals), full, rtol=1e-4)
+
+
 def test_raft_train_gradient_accumulation(rng):
     """accumulate_steps=2: params frozen after the 1st microbatch, updated
     with the averaged gradient after the 2nd (single-chip effective batch
