@@ -102,7 +102,15 @@ class FocusLossConfig:
     # Exact to the same exp(-slack^2/temp) ~ 1e-7 truncation as the static
     # band, and SAFER when displacements exceed the static cap (the band
     # grows to cover them).  Requires knn_method='softmax' + pallas interp.
-    interp_band_dynamic: bool = False
+    # True computes ONE margin shared by every (batch, bin) group —
+    # measured WORSE than the static band on the DSEC flow path (508 vs
+    # 337 ms, round 2: one diverged trajectory anywhere inflates every
+    # group's scan).  'per_group' computes a [G] margin vector instead —
+    # each (batch, bin) scans only its own displacement extent, which is
+    # where the win lives on the 41-bin trajectory path (early-bin Bezier
+    # displacements are a fraction of the final bin's; 246 groups at
+    # EVIMO2 geometry).
+    interp_band_dynamic: bool | str = False
     # Per-bin band margins (static-band refinement): group (batch, bin)'s
     # database holds trajectory positions at that bin's MIDTIME, and a
     # linear-basis trajectory (polynomial num_basis=1, the production DSEC
@@ -347,9 +355,16 @@ def _softmax_interpolate_flow(cfg: FocusLossConfig, grid_points: jnp.ndarray,
             else:
                 slot_y = (jnp.arange(n, dtype=jnp.float32) // wq) * s \
                     + s / 2.0 - 0.5
-            maxdisp = jnp.max(jnp.abs(db[..., 0] - slot_y[None, :]))
-            margin = jax.lax.stop_gradient(maxdisp) + 4.0 * float(np.sqrt(temp)) + s
-            band = jnp.stack([margin, jnp.float32(s), jnp.float32(wq)])
+            tail = 4.0 * float(np.sqrt(temp)) + s
+            ydisp = jnp.abs(db[..., 0] - slot_y[None, :])    # [G, N]
+            if cfg.interp_band_dynamic == "per_group":
+                margin = jax.lax.stop_gradient(jnp.max(ydisp, axis=1)) + tail
+                band = jnp.stack(
+                    [margin, jnp.full_like(margin, s),
+                     jnp.full_like(margin, wq)], axis=-1)    # [G, 3]
+            else:
+                margin = jax.lax.stop_gradient(jnp.max(ydisp)) + tail
+                band = jnp.stack([margin, jnp.float32(s), jnp.float32(wq)])
         elif cfg.interp_band_per_bin and cfg.interp_band_px > 0:
             margin = float(cfg.interp_band_px)
             tail = 4.0 * float(np.sqrt(temp))

@@ -20,8 +20,10 @@ align_corners=True, zero padding) becomes an explicit gather+lerp.
 
 from __future__ import annotations
 
+import functools
 from typing import List, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 
 
@@ -100,6 +102,45 @@ def bilinear_sample_hw(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.
             + corner(y0i + 1, x0i + 1, fy * fx))
 
 
+@jax.custom_vjp
+def _extract_window(corr_flat: jnp.ndarray, h_oh: jnp.ndarray,
+                    w_oh: jnp.ndarray) -> jnp.ndarray:
+    """Integer-aligned window extraction as two one-hot matmuls.
+
+    window[n] = h_oh[n] @ corr_flat[n] @ w_oh[n], f32 accumulation.  The
+    custom VJP (a) makes explicit that no gradient flows to the one-hots
+    (integer window placement — the reference's grid_sample coordinates are
+    likewise non-diff through floor), and (b) runs the two transpose matmuls
+    of the backward in the CORR dtype: with corr_dtype='bfloat16' the
+    cotangent is cast bf16 so both MXU passes take the 1-pass bf16 path
+    instead of a mixed f32 contraction (the cotangent rounding is the same
+    noise class the bf16 volume storage already opted into; exact-parity
+    f32 volumes keep an f32 backward).
+    """
+    band = jnp.einsum("nih,nhw->niw", h_oh, corr_flat,
+                      preferred_element_type=jnp.float32)    # [N, win, W2]
+    return jnp.einsum("niw,nwj->nij", band.astype(corr_flat.dtype), w_oh,
+                      preferred_element_type=jnp.float32)    # [N, win, win]
+
+
+def _extract_window_fwd(corr_flat, h_oh, w_oh):
+    return _extract_window(corr_flat, h_oh, w_oh), (h_oh, w_oh)
+
+
+def _extract_window_bwd(res, g):
+    h_oh, w_oh = res
+    dt = h_oh.dtype  # one-hots are built in the corr dtype
+    # d band = g @ w_oh^T; d corr = h_oh^T @ d band (f32 accumulation).
+    gband = jnp.einsum("nij,nwj->niw", g.astype(dt), w_oh,
+                       preferred_element_type=jnp.float32)   # [N, win, W2]
+    d_corr = jnp.einsum("nih,niw->nhw", h_oh, gband.astype(dt),
+                        preferred_element_type=jnp.float32)  # [N, H2, W2]
+    return d_corr.astype(dt), None, None
+
+
+_extract_window.defvjp(_extract_window_fwd, _extract_window_bwd)
+
+
 def _window_lookup(corr_flat: jnp.ndarray, cx: jnp.ndarray, cy: jnp.ndarray,
                    radius: int) -> jnp.ndarray:
     """Bilinear (2r+1)^2-window lookup via one-hot window matmuls.
@@ -143,10 +184,7 @@ def _window_lookup(corr_flat: jnp.ndarray, cx: jnp.ndarray, cy: jnp.ndarray,
             & row_ok[:, :, None]).astype(dt)                 # [N, win, H2]
     w_oh = ((cols[:, None, :] == jnp.arange(w2, dtype=jnp.int32)[:, None])
             & col_ok[:, None, :]).astype(dt)                 # [N, W2, win]
-    band = jnp.einsum("nih,nhw->niw", h_oh, corr_flat,
-                      preferred_element_type=jnp.float32)    # [N, win, W2]
-    window = jnp.einsum("niw,nwj->nij", band.astype(dt), w_oh,
-                        preferred_element_type=jnp.float32)  # [N, win, win]
+    window = _extract_window(corr_flat, h_oh, w_oh)          # [N, win, win]
 
     # Shared-fraction bilinear combine of the 4 shifted (2r+1)^2 views.
     w00 = window[:, :-1, :-1]

@@ -75,6 +75,32 @@ def test_dynamic_band_matches_static(rng):
                                atol=1e-5, rtol=1e-4)
 
 
+def test_per_group_dynamic_band_matches_static(rng):
+    """interp_band_dynamic='per_group' (one on-device margin per
+    (batch, bin) group) must match the full-scan pallas path bit-close —
+    the truncation argument is identical per group.  Trajectories get a
+    time-GROWING displacement so late bins genuinely need wider margins
+    than early ones (the case the per-group band exists for)."""
+    cfg_full = make_cfg(knn_method="softmax", use_pallas_interp=True,
+                        interp_band_px=0.0)
+    cfg_pg = dataclasses.replace(cfg_full, interp_band_px=80.0,
+                                 interp_band_dynamic="per_group")
+    flow = (6.0, -4.0)
+    events = jnp.asarray(make_translating_events(rng, flow))
+    times = jnp.concatenate([jnp.asarray([0.5]),
+                             jnp.asarray((np.arange(NBINS) + 0.5) / NBINS)])
+    traj = trajectories_for_flow(np.asarray(times), flow)
+
+    def loss(cfg, t):
+        return focus_loss(cfg, t, times, events)[0]
+
+    lf, gf = jax.value_and_grad(lambda t: loss(cfg_full, t))(traj)
+    lp, gp = jax.value_and_grad(lambda t: loss(cfg_pg, t))(traj)
+    np.testing.assert_allclose(float(lp), float(lf), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gf),
+                               atol=1e-5, rtol=1e-4)
+
+
 def test_softmax_true_flow_sharper(rng):
     cfg = make_cfg(knn_method="softmax")
     flow = (5.0, 7.0)
