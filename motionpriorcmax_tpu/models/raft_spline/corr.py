@@ -20,10 +20,8 @@ align_corners=True, zero padding) becomes an explicit gather+lerp.
 
 from __future__ import annotations
 
-import functools
 from typing import List, Sequence, Tuple
 
-import jax
 import jax.numpy as jnp
 
 
@@ -102,43 +100,26 @@ def bilinear_sample_hw(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.
             + corner(y0i + 1, x0i + 1, fy * fx))
 
 
-@jax.custom_vjp
 def _extract_window(corr_flat: jnp.ndarray, h_oh: jnp.ndarray,
                     w_oh: jnp.ndarray) -> jnp.ndarray:
     """Integer-aligned window extraction as two one-hot matmuls.
 
-    window[n] = h_oh[n] @ corr_flat[n] @ w_oh[n], f32 accumulation.  The
-    custom VJP (a) makes explicit that no gradient flows to the one-hots
-    (integer window placement — the reference's grid_sample coordinates are
-    likewise non-diff through floor), and (b) runs the two transpose matmuls
-    of the backward in the CORR dtype: with corr_dtype='bfloat16' the
-    cotangent is cast bf16 so both MXU passes take the 1-pass bf16 path
-    instead of a mixed f32 contraction (the cotangent rounding is the same
-    noise class the bf16 volume storage already opted into; exact-parity
-    f32 volumes keep an f32 backward).
+    window[n] = h_oh[n] @ corr_flat[n] @ w_oh[n], emitted in the CORR
+    dtype: each one-hot row has exactly one non-zero, so the contraction is
+    a SELECTION — a bf16 output is bit-identical to f32-accumulate-then-
+    round for bf16 corr, and the autodiff transposes then run as native
+    1-pass bf16 MXU dots instead of mixed f32×bf16 contractions (the
+    cotangent rounds to bf16, the noise class corr_dtype='bfloat16' opted
+    into; f32 volumes keep a fully f32 backward).  Deliberately NOT a
+    custom_vjp: jax.custom_vjp is opaque to the remat 'dots' policy, which
+    silently demoted these einsums from saved-dot-results to recomputed —
+    measured +95 ms on the b6 train step.
     """
+    dt = corr_flat.dtype
     band = jnp.einsum("nih,nhw->niw", h_oh, corr_flat,
-                      preferred_element_type=jnp.float32)    # [N, win, W2]
-    return jnp.einsum("niw,nwj->nij", band.astype(corr_flat.dtype), w_oh,
-                      preferred_element_type=jnp.float32)    # [N, win, win]
-
-
-def _extract_window_fwd(corr_flat, h_oh, w_oh):
-    return _extract_window(corr_flat, h_oh, w_oh), (h_oh, w_oh)
-
-
-def _extract_window_bwd(res, g):
-    h_oh, w_oh = res
-    dt = h_oh.dtype  # one-hots are built in the corr dtype
-    # d band = g @ w_oh^T; d corr = h_oh^T @ d band (f32 accumulation).
-    gband = jnp.einsum("nij,nwj->niw", g.astype(dt), w_oh,
-                       preferred_element_type=jnp.float32)   # [N, win, W2]
-    d_corr = jnp.einsum("nih,niw->nhw", h_oh, gband.astype(dt),
-                        preferred_element_type=jnp.float32)  # [N, H2, W2]
-    return d_corr.astype(dt), None, None
-
-
-_extract_window.defvjp(_extract_window_fwd, _extract_window_bwd)
+                      preferred_element_type=dt)             # [N, win, W2]
+    return jnp.einsum("niw,nwj->nij", band, w_oh,
+                      preferred_element_type=dt)             # [N, win, win]
 
 
 def _window_lookup(corr_flat: jnp.ndarray, cx: jnp.ndarray, cy: jnp.ndarray,
