@@ -45,9 +45,11 @@ def main():
                          "iterations per step (training/raft_spline.py)")
     ap.add_argument("--remat-encoders", action="store_true")
     ap.add_argument("--remat-policy", default=None,
-                    choices=(None, "dots"),
+                    choices=(None, "dots", "dots_window"),
                     help="iteration-remat policy: 'dots' saves conv/matmul "
-                         "results and recomputes only elementwise work")
+                         "results and recomputes only elementwise work; "
+                         "'dots_window' additionally saves the corr-window "
+                         "extractions (the production recipe)")
     ap.add_argument("--interp-band", default="static",
                     choices=("static", "dynamic", "per_group"),
                     help="CMax interp row-band mode for the self-sup loss "

@@ -22,7 +22,9 @@ from __future__ import annotations
 
 from typing import List, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 
 def compute_corr_volume(fmap1: jnp.ndarray, fmap2: jnp.ndarray) -> jnp.ndarray:
@@ -122,25 +124,89 @@ def _extract_window(corr_flat: jnp.ndarray, h_oh: jnp.ndarray,
                       preferred_element_type=dt)             # [N, win, win]
 
 
+def _extract_window_blocked(corr_flat: jnp.ndarray, rows0: jnp.ndarray,
+                            cols0: jnp.ndarray, win: int,
+                            bk: int = 8) -> jnp.ndarray:
+    """Window extraction as BLOCK-DIAGONAL dense matmuls (BK maps each).
+
+    The per-map einsum form is N independent (win, H2) @ (H2, W2) matmuls —
+    Mosaic issues them per batch element, so the MXU runs at ~3% utilization
+    (measured 14 ms fwd per lookup at EVIMO2 b6).  Stacking BK maps into one
+    dense contraction pays BK x nominal FLOPs for ~BK x fewer, ~BK x larger
+    MXU dispatches:
+
+      corr_bd [G, BK*H2, W2]   (G = N/BK, plain reshape)
+      h_bd    [G, BK*win, BK*H2] block-diagonal row one-hots
+      band_bd = h_bd @ corr_bd                   [G, BK*win, W2]
+      wf      = band_bd @ w_all [G, W2, BK*win]  [G, BK*win, BK*win]
+      window  = diagonal [win, win] blocks of wf (BK static slices)
+
+    The W2 axis is shared by every map, so the second stage computes a full
+    [BK*win, BK*win] product and keeps its block diagonal — still BK x
+    cheaper to dispatch than BK tiny dots.  Selection semantics identical to
+    the per-map einsums (out-of-range rows/cols match nothing -> zeros).
+    """
+    n, h2, w2 = corr_flat.shape
+    dt = corr_flat.dtype
+    pad = (-n) % bk
+    if pad:
+        corr_flat = jnp.pad(corr_flat, ((0, pad), (0, 0), (0, 0)))
+        rows0 = jnp.pad(rows0, (0, pad))
+        cols0 = jnp.pad(cols0, (0, pad))
+    npad = n + pad
+    g = npad // bk
+
+    offs = jnp.arange(win, dtype=jnp.int32)
+    rows = rows0[:, None] + offs[None, :]                    # [Np, win]
+    cols = cols0[:, None] + offs[None, :]
+    row_ok = (rows >= 0) & (rows < h2)
+    col_ok = (cols >= 0) & (cols < w2)
+    # Global (block-local) row ids; invalid taps -> -1 (match nothing).
+    mloc = jnp.arange(npad, dtype=jnp.int32)[:, None] % bk
+    rows_g = jnp.where(row_ok, rows + mloc * h2, -1).reshape(g, bk * win)
+    cols_g = jnp.where(col_ok, cols, -1).reshape(g, bk * win)
+
+    corr_bd = corr_flat.reshape(g, bk * h2, w2)
+    h_bd = (rows_g[:, :, None]
+            == jnp.arange(bk * h2, dtype=jnp.int32)).astype(dt)
+    w_all = (jnp.arange(w2, dtype=jnp.int32)[:, None]
+             == cols_g[:, None, :]).astype(dt)               # [G, W2, BK*win]
+    band_bd = jnp.einsum("gih,ghw->giw", h_bd, corr_bd,
+                         preferred_element_type=dt)          # [G, BKw, W2]
+    wf = jnp.einsum("giw,gwj->gij", band_bd, w_all,
+                    preferred_element_type=dt)               # [G, BKw, BKw]
+    wf = wf.reshape(g, bk, win, bk, win)
+    window = jnp.stack([wf[:, m, :, m, :] for m in range(bk)], axis=1)
+    return window.reshape(npad, win, win)[:n]
+
+
 def _window_lookup(corr_flat: jnp.ndarray, cx: jnp.ndarray, cy: jnp.ndarray,
-                   radius: int) -> jnp.ndarray:
-    """Bilinear (2r+1)^2-window lookup via one-hot window matmuls.
+                   radius: int, impl: str | None = None) -> jnp.ndarray:
+    """Bilinear (2r+1)^2-window lookup via per-map window extraction.
 
     All window offsets are integers, so every sampled point shares the same
     fractional part: extract one integer-aligned [2r+2, 2r+2] window per map
     and combine the 4 shifted views with the shared bilinear weights on the
-    VPU.  The extraction is two batched one-hot matmuls rather than gathers:
-    a take_along_axis pair reads fine, but its AUTODIFF TRANSPOSE is a
-    serialized scatter-add into the corr volume — profiled at b2 EVIMO2
-    scale the backward scan ('while' over 12 GRU iterations) spent ~1.2 s of
-    a 1.47 s train step in those scatter fusions.  One-hot selection is
-    bit-exact (0/1 weights, f32 accumulation) and differentiates into dense
-    matmuls.  Zero rows/cols outside the map match
+    VPU.  The extraction must NOT be a take_along_axis pair: its AUTODIFF
+    TRANSPOSE is a serialized scatter-add into the corr volume — profiled at
+    b2 EVIMO2 scale the backward scan ('while' over 12 GRU iterations) spent
+    ~1.2 s of a 1.47 s train step in those scatter fusions.  Two impls:
+
+      'pallas' (TPU auto default): VPU masked-select kernel
+        (ops/pallas/corr_window.py) — each query owns its own map, so the
+        einsum form is N independent tiny matmuls that Mosaic issues
+        per-batch at >90% MXU padding waste (measured 14 ms fwd + 12.5 ms
+        volume-cotangent bwd per refinement iteration at EVIMO2 b6).
+      'einsum': batched one-hot matmul pair — exact selection,
+        differentiates into dense matmuls; the non-TPU / oracle path.
+
+    Both give zero rows/cols outside the map, matching
     grid_sample(padding_mode='zeros').
 
     Args:
       corr_flat: [N, H2, W2] one map per query.
       cx, cy: [N] window centers (level pixels).
+      impl: 'pallas' | 'einsum' | None (auto: pallas on the TPU backend).
     Returns:
       [N, (2r+1)^2] features, row-major over (dy, dx) — the reference's
       delta ordering (corr.py:322-333).
@@ -154,18 +220,39 @@ def _window_lookup(corr_flat: jnp.ndarray, cx: jnp.ndarray, cy: jnp.ndarray,
     fx = (cx - x0)[:, None, None]
     fy = (cy - y0)[:, None, None]
 
-    offs = jnp.arange(-r, r + 2, dtype=jnp.int32)            # [win]
-    rows = y0.astype(jnp.int32)[:, None] + offs[None, :]     # [N, win]
-    cols = x0.astype(jnp.int32)[:, None] + offs[None, :]
-    row_ok = (rows >= 0) & (rows < h2)
-    col_ok = (cols >= 0) & (cols < w2)
+    if impl is None:
+        impl = "einsum"
+    if impl == "pallas":
+        # Measured SLOWER than the einsums on v5e (lookup 37.7 vs 26.5 ms
+        # fwd+bwd; Mosaic serializes the win^2 masked lane selections) —
+        # kept for A/B on other hardware.
+        from ...ops.pallas.corr_window import corr_window_pallas
 
-    dt = corr_flat.dtype
-    h_oh = ((rows[:, :, None] == jnp.arange(h2, dtype=jnp.int32))
-            & row_ok[:, :, None]).astype(dt)                 # [N, win, H2]
-    w_oh = ((cols[:, None, :] == jnp.arange(w2, dtype=jnp.int32)[:, None])
-            & col_ok[:, None, :]).astype(dt)                 # [N, W2, win]
-    window = _extract_window(corr_flat, h_oh, w_oh)          # [N, win, win]
+        rows0 = (y0.astype(jnp.int32) - r)
+        cols0 = (x0.astype(jnp.int32) - r)
+        window = corr_window_pallas(
+            corr_flat, rows0, cols0, win,
+            jax.default_backend() != "tpu")                  # [N, win, win]
+    elif impl == "einsum_blocked":
+        window = _extract_window_blocked(
+            corr_flat, y0.astype(jnp.int32) - r, x0.astype(jnp.int32) - r,
+            win)
+    else:
+        offs = jnp.arange(-r, r + 2, dtype=jnp.int32)        # [win]
+        rows = y0.astype(jnp.int32)[:, None] + offs[None, :]  # [N, win]
+        cols = x0.astype(jnp.int32)[:, None] + offs[None, :]
+        row_ok = (rows >= 0) & (rows < h2)
+        col_ok = (cols >= 0) & (cols < w2)
+
+        dt = corr_flat.dtype
+        h_oh = ((rows[:, :, None] == jnp.arange(h2, dtype=jnp.int32))
+                & row_ok[:, :, None]).astype(dt)             # [N, win, H2]
+        w_oh = ((cols[:, None, :] == jnp.arange(w2, dtype=jnp.int32)[:, None])
+                & col_ok[:, None, :]).astype(dt)             # [N, W2, win]
+        window = _extract_window(corr_flat, h_oh, w_oh)      # [N, win, win]
+    # Tag for the remat policy: 'dots_window' saves these per-iteration
+    # residuals so the backward does not re-extract windows (raft.py).
+    window = checkpoint_name(window, "corr_window")
 
     # Shared-fraction bilinear combine of the 4 shifted (2r+1)^2 views.
     w00 = window[:, :-1, :-1]
@@ -181,6 +268,7 @@ def lookup_corr_pyramid(
     pyramid: List[Tuple[Tuple[int, ...], jnp.ndarray]],
     coords: jnp.ndarray,
     radius: int = 4,
+    impl: str | None = None,
 ) -> jnp.ndarray:
     """Sample a (2r+1)^2 window per level/target around predicted coords.
 
@@ -190,6 +278,8 @@ def lookup_corr_pyramid(
       pyramid: from build_corr_pyramid.
       coords: [T0, B, 2, h1, w1], channel order (x, y) in level-0 pixels.
       radius: lookup radius r (config radius 4, raft.py:39).
+      impl: window-extraction impl, see _window_lookup ('pallas'/'einsum'/
+        None = backend auto).
 
     Returns:
       [B, sum_l T_l*(2r+1)^2, h1, w1].
@@ -208,7 +298,7 @@ def lookup_corr_pyramid(
         # corr_l layout is [T_l, B, q(h1*w1), h2, w2]; queries flatten the
         # same way as (cx, cy) -> rows align.
         img = corr_l.reshape(-1, h2, w2)
-        feat = _window_lookup(img, cx, cy, r)  # [T_l*B*h1*w1, K]
+        feat = _window_lookup(img, cx, cy, r, impl)  # [T_l*B*h1*w1, K]
         feat = feat.reshape(tl, b, h1, w1, k)
         out_levels.append(feat)
 

@@ -80,12 +80,21 @@ class RAFTSplineConfig:
     # and mask head outputs stay f32 (update.py docstring).  f32 default for
     # reference parity.
     compute_dtype: str = "float32"
+    # Corr window-extraction impl: 'einsum' (per-map one-hot matmuls, the
+    # measured v5e default) | 'einsum_blocked' (block-diagonal dense
+    # matmuls) | 'pallas' (VPU masked-select kernel; measured slower on
+    # v5e).  None = auto ('einsum').  See corr.py::_window_lookup.
+    corr_lookup_impl: Optional[str] = None
     # Rematerialization policy for the scanned iteration body (only with
-    # remat_iters).  None = full remat (recompute everything; the measured
-    # b6 operating point).  'dots' = jax.checkpoint_policies
-    # .checkpoint_dots: conv/matmul RESULTS are saved and only elementwise
-    # work is recomputed in the backward — trades iteration-activation
-    # memory for skipping the MXU half of the re-forward.
+    # remat_iters).  None = full remat (recompute everything).  'dots' =
+    # jax.checkpoint_policies.checkpoint_dots: conv/matmul RESULTS are
+    # saved and only elementwise work is recomputed in the backward —
+    # trades iteration-activation memory for skipping the MXU half of the
+    # re-forward.  'dots_window' = dots PLUS the 'corr_window' named
+    # residuals (the Pallas window extraction is not a dot, so plain
+    # 'dots' recomputes it in the backward; saving the [N, win, win]
+    # windows costs ~45 MB/iteration at EVIMO2 b6 and skips the
+    # re-extraction).  The production recipe.
     remat_policy: Optional[str] = None
 
     def __post_init__(self):
@@ -226,8 +235,9 @@ class RAFTSpline(nn.Module):
                                   *params_c.shape[2:])
             flows = jnp.einsum("bdphw,tp->tbdhw", pv, basis_mat)
             coords1 = coords0[None] + flows
-            corr_total = lookup_corr_pyramid(pyramid, coords1,
-                                             cfg.radius).astype(jnp.float32)
+            corr_total = lookup_corr_pyramid(
+                pyramid, coords1, cfg.radius,
+                cfg.corr_lookup_impl).astype(jnp.float32)
             net_c, up_mask, delta = mdl.update_block(net_c, inp, corr_total,
                                                      params_c)
             params_c = params_c + delta
@@ -240,6 +250,11 @@ class RAFTSpline(nn.Module):
             policy = None
             if cfg.remat_policy == "dots":
                 policy = jax.checkpoint_policies.checkpoint_dots
+            elif cfg.remat_policy == "dots_window":
+                policy = jax.checkpoint_policies.save_from_both_policies(
+                    jax.checkpoint_policies.checkpoint_dots,
+                    jax.checkpoint_policies.save_only_these_names(
+                        "corr_window"))
             elif cfg.remat_policy is not None:
                 raise ValueError(f"unknown remat_policy {cfg.remat_policy!r}")
             scan_body = nn.remat(body, prevent_cse=False, policy=policy)
