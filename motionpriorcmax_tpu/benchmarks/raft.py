@@ -50,10 +50,12 @@ def main():
                          "results and recomputes only elementwise work; "
                          "'dots_window' additionally saves the corr-window "
                          "extractions (the production recipe)")
-    ap.add_argument("--interp-band", default="static",
+    ap.add_argument("--interp-band", default="per_group",
                     choices=("static", "dynamic", "per_group"),
                     help="CMax interp row-band mode for the self-sup loss "
-                         "(losses/focus.py interp_band_dynamic)")
+                         "(losses/focus.py interp_band_dynamic; per_group "
+                         "is the trajectory-path production default — "
+                         "exact for uncapped Bezier displacements)")
     ap.add_argument("--supervised", action="store_true",
                     help="bench the gamma-weighted supervised MultiFlow "
                          "train step instead of the self-sup CMax step")

@@ -506,6 +506,12 @@ def cmd_traj_train(args) -> int:
     # 384x512 (evimo2/datasubset.py:176-189), MultiFlow is 384x512 natively —
     # but a probe sample keeps this correct for any dataset variant.
     image_hw = tuple(dataset[0]["ev_repr"].shape[-2:])
+    # Per-group dynamic interp band by default on the TRAJECTORY path:
+    # Bezier displacements carry no 60 px protocol cap, so the flow path's
+    # static band is not exactness-guaranteed here — the per-(batch, bin)
+    # on-device margins are (and measure slightly faster; ROADMAP round 5).
+    # Overridable via loss.interp_band_dynamic.
+    lc.setdefault("interp_band_dynamic", "per_group")
     loss_cfg = make_loss(lc.pop("type", "FOCUS"), image_shape=image_hw, **lc)
 
     assert tcfg["batch_size"] % n_proc == 0, (tcfg["batch_size"], n_proc)

@@ -17,10 +17,12 @@ Architecture (RAFT BasicEncoder): conv7x7/2 -> 2 res blocks @64 -> 2 @96 /2
 
 from __future__ import annotations
 
-from typing import Any, Sequence, Union
+from typing import Any, Optional, Sequence, Union
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax import lax
 
 
 def _norm(norm_fn: str, use_running_average: bool, dtype=jnp.float32):
@@ -36,6 +38,62 @@ def _norm(norm_fn: str, use_running_average: bool, dtype=jnp.float32):
     if norm_fn == "none":
         return lambda x: x
     raise ValueError(f"unknown norm_fn {norm_fn!r}")
+
+
+class Conv7x7S2(nn.Module):
+    """7x7 stride-2 conv with a space-to-depth fast path.
+
+    The native stride-2 conv's BACKWARD is the TPU conv-engine pathology
+    this repo keeps meeting (input-dilated convs; cf. the UNet's
+    ConvTranspose2x2 note): measured 31.7 ms fwd+bwd at the b6 context
+    encoder geometry vs 14.4 ms for the algebraically identical
+    space-to-depth form — conv(k7, s2, p3) == conv(k4, s1, pad (2,1)) on
+    the 2x2-phase-stacked input with the kernel taps regrouped by phase:
+
+        out[y, x] = sum_{u,v} K[u, v] I[2y+u-3, 2x+v-3]
+                  = sum_{a,b,py,px} K[2a+py-1, 2b+px-1] I2[y+a-2, x+b-2,
+                                                           (py, px, c)]
+
+    (taps with 2a+py-1 outside [0, 7) are zero — exactly the zero row/col
+    that padding K by one leading tap provides).  The parameter KEEPS the
+    canonical [7, 7, C, O] shape/name, so checkpoints and the torch
+    converter are unaffected; the regroup is a free weight reshape.
+    impl None = auto ('s2d' on the TPU backend for even inputs).
+    """
+
+    features: int
+    dtype: Any = jnp.float32
+    impl: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (7, 7, cin, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        b, h, w, _ = x.shape
+        impl = self.impl
+        if impl is None:
+            impl = ("s2d" if jax.default_backend() == "tpu"
+                    and h % 2 == 0 and w % 2 == 0 else "native")
+        dt = self.dtype
+        if impl == "native" or h % 2 or w % 2:
+            y = lax.conv_general_dilated(
+                x.astype(dt), kernel.astype(dt), (2, 2),
+                ((3, 3), (3, 3)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            return y + bias.astype(dt)
+        x2 = x.reshape(b, h // 2, 2, w // 2, 2, cin)
+        x2 = jnp.transpose(x2, (0, 1, 3, 2, 4, 5)).reshape(
+            b, h // 2, w // 2, 4 * cin)
+        kp = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))  # [8,8,C,O]
+        kp = kp.reshape(4, 2, 4, 2, cin, self.features)
+        kp = jnp.transpose(kp, (0, 2, 1, 3, 4, 5)).reshape(
+            4, 4, 4 * cin, self.features)
+        y = lax.conv_general_dilated(
+            x2.astype(dt), kp.astype(dt), (1, 1), ((2, 1), (2, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y + bias.astype(dt)
 
 
 class ResidualBlock(nn.Module):
@@ -88,13 +146,16 @@ class BasicEncoder(nn.Module):
         ura = not train
         dt = self.dtype
 
-        x = nn.Conv(64, (7, 7), strides=2, padding=3, dtype=dt)(x.astype(dt))
+        # Param tree position pinned: Conv7x7S2 takes the name nn.Conv
+        # auto-assigned before (kernel [7,7,C,64] unchanged); the final 1x1
+        # keeps its historical auto-name explicitly.
+        x = Conv7x7S2(64, dtype=dt, name="Conv_0")(x.astype(dt))
         x = _norm(self.norm_fn, ura, dt)(x)
         x = nn.relu(x).astype(dt)
         for planes, stride in ((64, 1), (96, 2), (128, 2)):
             x = ResidualBlock(planes, self.norm_fn, stride, dt)(x, ura)
             x = ResidualBlock(planes, self.norm_fn, 1, dt)(x, ura)
-        x = nn.Conv(self.output_dim, (1, 1), dtype=dt)(x)
+        x = nn.Conv(self.output_dim, (1, 1), dtype=dt, name="Conv_1")(x)
 
         x = jnp.transpose(x, (0, 3, 1, 2))  # NHWC -> NCHW
         if is_list:

@@ -186,6 +186,36 @@ def test_raft_spline_with_images():
     assert up.shape == (1, 2, 32, 32)
 
 
+def test_conv7x7s2_s2d_matches_native(rng):
+    """The space-to-depth 7x7/s2 form is algebraically identical to the
+    native strided conv (same [7,7,C,O] param, taps regrouped by phase)."""
+    import jax
+
+    from motionpriorcmax_tpu.models.raft_spline.extractor import Conv7x7S2
+
+    x = jnp.asarray(rng.normal(size=(2, 16, 20, 5)).astype(np.float32))
+    m_native = Conv7x7S2(8, impl="native")
+    m_s2d = Conv7x7S2(8, impl="s2d")
+    variables = m_native.init(jax.random.PRNGKey(0), x)
+    y_native = m_native.apply(variables, x)
+    y_s2d = m_s2d.apply(variables, x)
+    assert y_s2d.shape == y_native.shape == (2, 8, 10, 8)
+    np.testing.assert_allclose(np.asarray(y_s2d), np.asarray(y_native),
+                               atol=1e-5)
+
+    # Gradients agree too (the backward is the point of the rewrite).
+    def loss(impl):
+        m = Conv7x7S2(8, impl=impl)
+        return lambda v, xx: jnp.sum(m.apply(v, xx) ** 2)
+
+    gn = jax.grad(loss("native"), argnums=(0, 1))(variables, x)
+    gs = jax.grad(loss("s2d"), argnums=(0, 1))(variables, x)
+    for a, b in zip(jax.tree_util.tree_leaves(gn),
+                    jax.tree_util.tree_leaves(gs)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3,
+                                   rtol=1e-4)
+
+
 def test_window_lookup_matches_pointwise(rng):
     """The contiguous-window lookup must equal per-point bilinear sampling."""
     from motionpriorcmax_tpu.models.raft_spline.corr import _window_lookup
