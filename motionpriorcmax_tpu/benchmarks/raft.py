@@ -129,7 +129,7 @@ def main():
             s2, logs = sstep(s, sbatch, jax.random.PRNGKey(3))
             return logs["train_losses/total"]
 
-        dt, _ = device_timer(run_s, state, iters=3, warmup=1)
+        dt, _ = device_timer(run_s, state, iters=8, warmup=2)
         rec = {"metric": "raft_spline_supervised_trainstep_ms",
                "value": round(dt * 1e3, 1), "unit": "ms", "batch": b,
                "corr_dtype": args.corr_dtype,
@@ -175,7 +175,7 @@ def main():
         s2, logs = tstep(s, tbatch, jax.random.PRNGKey(3))
         return logs["train_losses/total"]
 
-    dt, _ = device_timer(run, state, iters=3, warmup=1)
+    dt, _ = device_timer(run, state, iters=8, warmup=2)
     rec = {"metric": "raft_spline_selfsup_trainstep_ms",
            "value": round(dt * 1e3, 1), "unit": "ms", "batch": b,
            "events": b * m_ev, "corr_dtype": args.corr_dtype,
